@@ -1,0 +1,109 @@
+"""MNIST / Morpho-MNIST datasets (reference ``mnist_dataset.py:10-82``).
+
+``MorphoMnistDataset`` yields batches of
+``(image (B,1,28,28) float32∈[0,1], digit_label (B,), morpho (B,6))``
+with the six morphometrics (area, length, thickness, slant, width,
+height) exactly as the reference.
+
+Data resolution order:
+1. Real IDX archives + ``*-morpho.csv`` at ``<root>/plain/`` (the
+   reference's layout, ``mnist_dataset.py:48-76``), when present.
+2. Otherwise a deterministic synthetic digit set
+   (:mod:`arvae_tpu.data.synthetic_digits`) whose morphometrics are
+   *measured* — not faked — with :mod:`arvae_tpu.data.morphomnist`, and
+   cached to disk in the same IDX + CSV formats so the two paths share
+   one loader.
+"""
+
+from __future__ import annotations
+
+import multiprocessing
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from arvae_tpu.data.loaders import SplitArrayDataset
+from arvae_tpu.data.morphomnist import io as idx_io
+from arvae_tpu.data.morphomnist.measure import measure_batch
+from arvae_tpu.data.synthetic_digits import generate_digit_set
+
+# Synthetic set sizes (one-time generation incl. morphometrics is
+# ~minutes with a process pool; cached afterwards).
+SYNTH_TRAIN = 8192
+SYNTH_TEST = 2048
+
+
+def _default_root() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.pardir,
+        "datasets",
+        "mnist_data",
+    )
+
+
+def _measure_images(imgs_u8: np.ndarray) -> np.ndarray:
+    with multiprocessing.Pool() as pool:
+        df = measure_batch(imgs_u8, pool=pool, chunksize=64)
+    return df.values.astype(np.float32)
+
+
+class MnistDataset(SplitArrayDataset):
+    """Plain MNIST: (image, digit) batches (reference mnist_dataset.py:10-41)."""
+
+    def __init__(self, root: Optional[str] = None, seed: int = 0):
+        root = os.path.abspath(root or _default_root())
+        self.root_dir = os.path.join(root, "plain")
+        tr = self._load_or_generate("train")
+        te = self._load_or_generate("t10k")
+        super().__init__(tr[:2], te[:2], seed=seed)
+        self._full_train = tr
+        self._full_test = te
+
+    # -- loading ------------------------------------------------------------
+
+    def _paths(self, kind: str) -> Tuple[str, str, str]:
+        return (
+            os.path.join(self.root_dir, f"{kind}-images-idx3-ubyte.gz"),
+            os.path.join(self.root_dir, f"{kind}-labels-idx1-ubyte.gz"),
+            os.path.join(self.root_dir, f"{kind}-morpho.csv"),
+        )
+
+    def _load_or_generate(self, kind: str):
+        img_p, lab_p, mor_p = self._paths(kind)
+        if not (os.path.exists(img_p) and os.path.exists(lab_p)):
+            self._generate_synthetic(kind)
+        images = idx_io.load_idx(img_p)
+        images = np.expand_dims(images, 1).astype(np.float32) / 255.0
+        labels = idx_io.load_idx(lab_p).astype(np.int64)
+        if not os.path.exists(mor_p):
+            print(f"measuring morphometrics for {kind} ({len(images)} images)...")
+            morpho = _measure_images((images[:, 0] * 255).astype(np.uint8))
+            pd.DataFrame(
+                morpho,
+                columns=["area", "length", "thickness", "slant", "width", "height"],
+            ).to_csv(mor_p, index=False)
+        morpho = pd.read_csv(mor_p).values.astype(np.float32)
+        return images, labels, morpho
+
+    def _generate_synthetic(self, kind: str):
+        os.makedirs(self.root_dir, exist_ok=True)
+        n = SYNTH_TRAIN if kind == "train" else SYNTH_TEST
+        seed = 0 if kind == "train" else 1
+        print(f"generating synthetic digit set '{kind}' (n={n})...")
+        imgs, labels = generate_digit_set(n, seed=seed)
+        img_p, lab_p, _ = self._paths(kind)
+        idx_io.save_idx((imgs[:, 0] * 255).astype(np.uint8), img_p)
+        idx_io.save_idx(labels.astype(np.uint8), lab_p)
+
+
+class MorphoMnistDataset(MnistDataset):
+    """MNIST + per-image morphometrics (reference mnist_dataset.py:44-82)."""
+
+    def __init__(self, root: Optional[str] = None, seed: int = 0):
+        super().__init__(root=root, seed=seed)
+        # batches: (image, digit_label, morpho_labels[6])
+        self.train_arrays = self._full_train
+        self.val_arrays = self._full_test

@@ -1,0 +1,153 @@
+"""Disentanglement metric suite (host-side, sklearn/scipy).
+
+Same five metrics and the same estimator choices as the reference
+``utils/evaluation.py:8-233``: Interpretability (argmax-MI dim +
+linear-regression R²), MIG, Modularity (Ridgeway & Mozer), SCC
+(p-gated Spearman), SAP. The kNN-based ``mutual_info_regression``
+drives Interpretability/MIG/Modularity, so these stay sklearn on host
+(SURVEY.md §7 "sklearn metric fidelity") — only the latent harvest that
+feeds them is TPU work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.stats import spearmanr
+from sklearn.feature_selection import mutual_info_regression
+from sklearn.linear_model import LinearRegression
+
+EVAL_METRIC_DICT = {
+    "interpretability": "Interpretability",
+    "modularity_score": "Modularity",
+    "mig": "MIG",
+    "SAP_score": "SAP",
+    "Corr_score": "SCC",
+}
+
+
+def continuous_mutual_info(mus: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """(num_codes, num_attributes) kNN MI matrix
+    (reference evaluation.py:32-43)."""
+    num_codes = mus.shape[1]
+    num_attributes = ys.shape[1]
+    m = np.zeros([num_codes, num_attributes])
+    for i in range(num_attributes):
+        m[:, i] = mutual_info_regression(mus, ys[:, i])
+    return m
+
+
+def continuous_entropy(ys: np.ndarray) -> np.ndarray:
+    """Self-MI entropy estimate per attribute (reference evaluation.py:58-69)."""
+    num_factors = ys.shape[1]
+    h = np.zeros(num_factors)
+    for j in range(num_factors):
+        h[j] = mutual_info_regression(ys[:, j].reshape(-1, 1), ys[:, j])
+    return h
+
+
+def compute_interpretability_metric(latent_codes, attributes, attr_list):
+    """Per-attribute (best latent dim by MI, linear R² on that dim) + mean.
+
+    Output schema matches reference evaluation.py:72-93 exactly:
+    ``{attr: (dim, score), ..., "mean": (-1, mean_score)}``.
+    """
+    interpretability_metrics = {}
+    total = 0.0
+    for i, attr_name in enumerate(attr_list):
+        attr_labels = attributes[:, i]
+        mutual_info = mutual_info_regression(latent_codes, attr_labels)
+        dim = int(np.argmax(mutual_info))
+        reg = LinearRegression().fit(latent_codes[:, dim : dim + 1], attr_labels)
+        score = float(reg.score(latent_codes[:, dim : dim + 1], attr_labels))
+        interpretability_metrics[attr_name] = (dim, score)
+        total += score
+    interpretability_metrics["mean"] = (-1, total / len(attr_list))
+    return interpretability_metrics
+
+
+def compute_mig(latent_codes, attributes):
+    """Mutual information gap (reference evaluation.py:96-110)."""
+    m = continuous_mutual_info(latent_codes, attributes)
+    entropy = continuous_entropy(attributes)
+    sorted_m = np.sort(m, axis=0)[::-1]
+    return {
+        "mig": float(
+            np.mean(np.divide(sorted_m[0, :] - sorted_m[1, :], entropy[:]))
+        )
+    }
+
+
+def _modularity(mutual_information):
+    squared_mi = np.square(mutual_information)
+    max_squared_mi = np.max(squared_mi, axis=1)
+    numerator = np.sum(squared_mi, axis=1) - max_squared_mi
+    denominator = max_squared_mi * (squared_mi.shape[1] - 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        delta = numerator / denominator
+    modularity_score = 1.0 - delta
+    index = max_squared_mi == 0.0
+    modularity_score[index] = 0.0
+    return float(np.mean(modularity_score))
+
+
+def compute_modularity(latent_codes, attributes):
+    """Modularity (reference evaluation.py:113-140)."""
+    mi = continuous_mutual_info(latent_codes, attributes)
+    return {"modularity_score": _modularity(mi)}
+
+
+def _compute_correlation_matrix(mus, ys):
+    num_latent_codes = mus.shape[1]
+    num_attributes = ys.shape[1]
+    score_matrix = np.zeros([num_latent_codes, num_attributes])
+    for i in range(num_latent_codes):
+        for j in range(num_attributes):
+            rho, p = spearmanr(mus[:, i], ys[:, j])
+            score_matrix[i, j] = np.abs(rho) if p <= 0.05 else 0.0
+    return score_matrix
+
+
+def compute_correlation_score(latent_codes, attributes):
+    """Spearman correlation score, p ≤ .05 gated
+    (reference evaluation.py:143-173)."""
+    corr_matrix = _compute_correlation_matrix(latent_codes, attributes)
+    return {"Corr_score": float(np.mean(np.max(corr_matrix, axis=0)))}
+
+
+def _compute_score_matrix(mus, ys):
+    num_latent_codes = mus.shape[1]
+    num_attributes = ys.shape[1]
+    score_matrix = np.zeros([num_latent_codes, num_attributes])
+    for i in range(num_latent_codes):
+        for j in range(num_attributes):
+            cov = np.cov(mus[:, i], ys[:, j], ddof=1)
+            cov_mu_y = cov[0, 1] ** 2
+            var_mu = cov[0, 0]
+            var_y = cov[1, 1]
+            if var_mu > 1e-12:
+                score_matrix[i, j] = cov_mu_y / (var_mu * var_y)
+            else:
+                score_matrix[i, j] = 0.0
+    return score_matrix
+
+
+def _compute_avg_diff_top_two(matrix):
+    sorted_matrix = np.sort(matrix, axis=0)
+    return float(np.mean(sorted_matrix[-1, :] - sorted_matrix[-2, :]))
+
+
+def compute_sap_score(latent_codes, attributes):
+    """Separated attribute predictability (reference evaluation.py:176-219)."""
+    score_matrix = _compute_score_matrix(latent_codes, attributes)
+    assert score_matrix.shape[0] == latent_codes.shape[1]
+    assert score_matrix.shape[1] == attributes.shape[1]
+    return {"SAP_score": _compute_avg_diff_top_two(score_matrix)}
+
+
+def normalize_data(data, mean=None, stddev=None):
+    """z-score normalization (reference evaluation.py:222-233)."""
+    if mean is None:
+        mean = np.mean(data, axis=0)
+    if stddev is None:
+        stddev = np.std(data, axis=0)
+    return (data - mean[np.newaxis, :]) / stddev[np.newaxis, :], mean, stddev

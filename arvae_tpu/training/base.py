@@ -1,0 +1,239 @@
+"""Abstract trainer: epoch driver over jitted, mesh-sharded steps.
+
+Functional re-design of the reference ``utils/trainer.py:16-245``:
+the per-batch python loop body (forward → loss → backward → Adam step)
+becomes ONE jitted ``train_step(state, batch, key)`` compiled once and
+executed per batch with the batch sharded over the mesh's data axis —
+XLA inserts the gradient all-reduce. Explicit PRNG keys replace the
+reference's global torch/numpy seeding (``image_vae_trainer.py:102-104``).
+
+Kept from the reference: the epoch loop structure (train pass, val
+pass, ``eval_model`` hook, per-epoch save), the tensorboard scalar
+schema (loss/train, loss/valid, acc/train, acc/valid —
+``trainer.py:95-100``), and stdout epoch stats.
+"""
+
+from __future__ import annotations
+
+import abc
+import os
+import time
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from arvae_tpu.core.config import TrainerHParams, run_dir
+from arvae_tpu.core.checkpoint import Checkpointer
+from arvae_tpu.parallel import MeshContext, create_mesh, shard_batch
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class BaseTrainer(abc.ABC):
+    """Owns dataset + model + optimizer + mesh; drives epochs."""
+
+    def __init__(
+        self,
+        dataset,
+        model,
+        hparams: TrainerHParams,
+        mesh: Optional[MeshContext] = None,
+    ):
+        self.dataset = dataset
+        self.model = model
+        self.hparams = hparams
+        self.mesh = mesh or create_mesh()
+        self.optimizer = optax.adam(hparams.lr)
+        self.writer = None
+        self.metrics: Dict[str, Any] = {}
+        self.cur_epoch_num = 0
+        self._base_key = jax.random.key(hparams.rand)
+        self.state: Optional[TrainState] = None
+
+    # -- identity / paths (reference utils/model.py:21-41 semantics) -------
+
+    @abc.abstractmethod
+    def model_repr(self) -> str:
+        """e.g. 'MnistVAE_r_0_b_4.0_...' — keys all run artifacts."""
+
+    @property
+    def run_dir(self) -> str:
+        return run_dir(self.model_repr())
+
+    # -- state ---------------------------------------------------------------
+
+    @abc.abstractmethod
+    def init_params(self, rng) -> Any:
+        """Initializes model parameters from an example batch."""
+
+    def init_state(self) -> TrainState:
+        params = self.init_params(jax.random.fold_in(self._base_key, 0))
+        opt_state = self.optimizer.init(params)
+        state = TrainState(params=params, opt_state=opt_state,
+                           step=jnp.zeros((), jnp.int32))
+        return jax.device_put(state, self.mesh.replicated)
+
+    def ensure_state(self) -> TrainState:
+        if self.state is None:
+            self.state = self.init_state()
+        return self.state
+
+    # -- abstract per-batch computation --------------------------------------
+
+    @abc.abstractmethod
+    def make_train_step(self):
+        """Returns jit-compiled (state, batch, key) -> (state, metrics)."""
+
+    @abc.abstractmethod
+    def make_eval_step(self):
+        """Returns jit-compiled (params, batch, key) -> metrics."""
+
+    @abc.abstractmethod
+    def process_batch(self, batch: Tuple[np.ndarray, ...]):
+        """Host-side batch massaging before device_put."""
+
+    # -- epoch driver ---------------------------------------------------------
+
+    def loss_and_acc_on_epoch(
+        self, loader: Iterable, epoch_num: int, train: bool
+    ) -> Tuple[float, float]:
+        if train:
+            step_fn = self._train_step_fn
+        else:
+            step_fn = self._eval_step_fn
+        total_loss, total_acc, n = 0.0, 0.0, 0
+        for batch_num, batch in enumerate(loader):
+            batch = self.process_batch(batch)
+            batch = shard_batch(self.mesh, batch)
+            key = jax.random.fold_in(
+                self._base_key, (epoch_num + 1) * 100003 + batch_num * 2 + train
+            )
+            if train:
+                self.state, metrics = step_fn(self.state, batch, key)
+            else:
+                metrics = step_fn(self.state.params, batch, key)
+            total_loss += float(metrics["loss"])
+            total_acc += float(metrics.get("accuracy", 0.0))
+            n += 1
+            if batch_num == 0 and train:
+                self._log_loss_split(metrics, epoch_num)
+        n = max(n, 1)
+        return total_loss / n, total_acc / n
+
+    def _log_loss_split(self, metrics: Dict[str, Any], epoch_num: int) -> None:
+        """First-batch loss-split scalars (reference
+        image_vae_trainer.py:147-151,182-196)."""
+        if self.writer is None:
+            return
+        h = self.hparams
+        if "recons_loss" in metrics:
+            self.writer.add_scalar(
+                "loss_split/recons_loss", float(metrics["recons_loss"]), epoch_num
+            )
+        if "dist_loss" in metrics and h.beta != 0:
+            self.writer.add_scalar(
+                "loss_split/dist_loss", float(metrics["dist_loss"]) / h.beta,
+                epoch_num,
+            )
+        if "reg_loss" in metrics and h.use_reg_loss and h.gamma != 0:
+            self.writer.add_scalar(
+                "loss_split/reg_loss", float(metrics["reg_loss"]) / h.gamma,
+                epoch_num,
+            )
+
+    def train_model(self, batch_size: int, num_epochs: int, log: bool = False):
+        if log:
+            from tensorboardX import SummaryWriter
+
+            ts = time.strftime("%Y-%m-%d_%H:%M:%S")
+            self.writer = SummaryWriter(
+                logdir=os.path.join("runs", self.model_repr() + ts)
+            )
+
+        gen_train, gen_val, _ = self.dataset.data_loaders(
+            batch_size=batch_size, split=(0.70, 0.20)
+        )
+        print("Num Train Batches: ", len(gen_train))
+        print("Num Valid Batches: ", len(gen_val))
+
+        self.ensure_state()
+        self._train_step_fn = self.make_train_step()
+        self._eval_step_fn = self.make_eval_step()
+
+        ckpt = Checkpointer(self.run_dir)
+        for epoch_index in range(num_epochs):
+            self.update_scheduler(epoch_index)
+            t0 = time.time()
+            mean_loss_train, mean_accuracy_train = self.loss_and_acc_on_epoch(
+                gen_train, epoch_index, train=True
+            )
+            mean_loss_val, mean_accuracy_val = self.loss_and_acc_on_epoch(
+                gen_val, epoch_index, train=False
+            )
+            self.eval_model(gen_val, epoch_index)
+            dt = time.time() - t0
+            if self.writer is not None:
+                self.writer.add_scalar("loss/train", mean_loss_train, epoch_index)
+                self.writer.add_scalar("loss/valid", mean_loss_val, epoch_index)
+                self.writer.add_scalar("acc/train", mean_accuracy_train, epoch_index)
+                self.writer.add_scalar("acc/valid", mean_accuracy_val, epoch_index)
+            self.print_epoch_stats(
+                epoch_index,
+                num_epochs,
+                mean_loss_train,
+                mean_accuracy_train,
+                mean_loss_val,
+                mean_accuracy_val,
+                dt,
+            )
+            ckpt.save(self.state)
+
+    def eval_model(self, data_loader, epoch_num: int = 0):
+        """Optional extra per-epoch evaluation hook."""
+
+    def update_scheduler(self, epoch_num: int):
+        """Optional LR/teacher-forcing schedule hook."""
+
+    def load_model(self):
+        """Restores params/opt_state/step from the run checkpoint."""
+        ckpt = Checkpointer(self.run_dir)
+        template = self.ensure_state()
+        restored = ckpt.restore(jax.device_get(template))
+        self.state = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, restored), self.mesh.replicated
+        )
+
+    @staticmethod
+    def print_epoch_stats(
+        epoch_index,
+        num_epochs,
+        mean_loss_train,
+        mean_accuracy_train,
+        mean_loss_val,
+        mean_accuracy_val,
+        seconds=None,
+    ):
+        extra = f"  [{seconds:.1f}s]" if seconds is not None else ""
+        print(f"Train Epoch: {epoch_index + 1}/{num_epochs}{extra}")
+        print(
+            f"\tTrain Loss: {mean_loss_train}"
+            f"\tTrain Accuracy: {mean_accuracy_train * 100} %"
+        )
+        print(
+            f"\tValid Loss: {mean_loss_val}"
+            f"\tValid Accuracy: {mean_accuracy_val * 100} %"
+        )
+
+    @staticmethod
+    def get_save_dir(run_directory: str, sub_dir_name: str = "results") -> str:
+        path = os.path.join(run_directory, sub_dir_name)
+        os.makedirs(path, exist_ok=True)
+        return path

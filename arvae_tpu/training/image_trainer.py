@@ -1,0 +1,590 @@
+"""Image AR-VAE trainer (reference ``imagevae/image_vae_trainer.py``).
+
+One jitted train step computes the full objective
+recon + β-capacity-KLD + Σ_dims γ·AR-reg (reference loss at
+``image_vae_trainer.py:137-217``), with the O(B²) reg block going
+through the fused Pallas kernel on TPU. Evaluation reproduces the
+reference protocol: sampled-z latent harvest capped at 201 batches
+(``:274-287``), the five-metric suite, test loss/acc, and a
+``results_dict.json`` cache with the identical schema (``:289-317``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from arvae_tpu.core.config import TrainerHParams, trainer_config_string
+from arvae_tpu.models.image_vae import DspritesVAE, MnistVAE
+from arvae_tpu.ops.losses import (
+    kld_loss,
+    pixel_accuracy,
+    reconstruction_loss,
+    total_reg_loss,
+)
+from arvae_tpu.training.base import BaseTrainer, TrainState
+
+MNIST_REG_TYPES = {
+    "digit_identity": 0,
+    "area": 1,
+    "length": 2,
+    "thickness": 3,
+    "slant": 4,
+    "width": 5,
+    "height": 6,
+}
+
+MNIST_NORMALIZATION_FACTORS = {
+    "digit_identity": (0, 9),
+    "area": (0, 350),
+    "length": (0, 100),
+    "thickness": (0, 15),
+    "slant": (-1.2, 1.2),
+    "width": (0, 30),
+    "height": (0, 30),
+}
+
+DSPRITES_REG_TYPE = {
+    "color": 0,
+    "shape": 1,
+    "scale": 2,
+    "orientation": 3,
+    "posx": 4,
+    "posy": 5,
+}
+
+DATASET_REG_TYPE_DICT = {"mnist": MNIST_REG_TYPES, "dsprites": DSPRITES_REG_TYPE}
+
+
+def get_reg_dim(attr_dict) -> Tuple[int, ...]:
+    """All regularizable dims (reference image_vae_trainer.py:55-62)."""
+    return tuple(
+        v for k, v in attr_dict.items() if k not in ("digit_identity", "color")
+    )
+
+
+class ImageVAETrainer(BaseTrainer):
+    def __init__(
+        self,
+        dataset,
+        model: MnistVAE,
+        lr: float = 1e-4,
+        reg_type: Tuple[str, ...] = (),
+        reg_dim: Tuple[int, ...] = (),
+        dec_dist: str = "bernoulli",
+        beta: float = 4.0,
+        gamma: float = 10.0,
+        capacity: float = 0.0,
+        rand: int = 0,
+        delta: float = 1.0,
+        mesh=None,
+        use_pallas: Optional[bool] = None,
+    ):
+        name = dataset.__class__.__name__
+        if name in ("MorphoMnistDataset", "MnistDataset"):
+            self.dataset_type = "mnist"
+        elif name == "DspritesDataset":
+            self.dataset_type = "dsprites"
+        else:
+            raise ValueError(f"Dataset type not recognized: {name}")
+        self.attr_dict = DATASET_REG_TYPE_DICT[self.dataset_type]
+        self.reverse_attr_dict = {v: k for k, v in self.attr_dict.items()}
+
+        hp = TrainerHParams(
+            lr=lr,
+            beta=beta,
+            capacity=capacity,
+            gamma=gamma,
+            delta=delta,
+            dec_dist=dec_dist,
+            rand=rand,
+            reg_type=tuple(reg_type or ()),
+            reg_dim=tuple(reg_dim or ()) if len(reg_type or ()) else (),
+        )
+        super().__init__(dataset, model, hp, mesh=mesh)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        self._example_shape = (
+            (1, 1, 28, 28) if self.dataset_type == "mnist" else (1, 1, 64, 64)
+        )
+
+    # -- identity -------------------------------------------------------------
+
+    def model_repr(self) -> str:
+        base = "MnistVAE" if self.dataset_type == "mnist" else "DspritesVAE"
+        return base + trainer_config_string(self.hparams)
+
+    # -- state ------------------------------------------------------------------
+
+    def init_params(self, rng):
+        x = jnp.zeros(self._example_shape, jnp.float32)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        variables = self.model.init(
+            {"params": k1, "dropout": k2, "sample": k3}, x, train=True
+        )
+        return variables["params"]
+
+    # -- batches -----------------------------------------------------------------
+
+    def process_batch(self, batch):
+        """(inputs, labels): mnist batches carry (img, digit, morpho) —
+        morpho are the labels (reference image_vae_trainer.py:120-135)."""
+        if self.dataset_type == "mnist":
+            inputs, _, morpho_labels = batch
+            return (
+                np.asarray(inputs, np.float32),
+                np.asarray(morpho_labels, np.float32),
+            )
+        inputs, labels = batch
+        return np.asarray(inputs, np.float32), np.asarray(labels, np.float32)
+
+    # -- loss --------------------------------------------------------------------
+
+    def _loss_fn(self, params, batch, key, train: bool):
+        inputs, labels = batch
+        h = self.hparams
+        k_drop, k_sample = jax.random.split(key)
+        out = self.model.apply(
+            {"params": params},
+            inputs,
+            train=train,
+            rngs={"dropout": k_drop, "sample": k_sample},
+        )
+        recons_loss = reconstruction_loss(out.logits, inputs, h.dec_dist)
+        dist_loss = kld_loss(out.z_mean, out.z_log_std, h.beta, h.capacity)
+        loss = recons_loss + dist_loss
+        metrics = {"recons_loss": recons_loss, "dist_loss": dist_loss}
+        if h.use_reg_loss:
+            reg_pairs = tuple((d, d) for d in h.reg_dim)
+            reg_loss = total_reg_loss(
+                out.z_tilde, labels, reg_pairs, h.gamma, h.delta,
+                use_pallas=self.use_pallas,
+            )
+            loss = loss + reg_loss
+            metrics["reg_loss"] = reg_loss
+        metrics["loss"] = loss
+        metrics["accuracy"] = pixel_accuracy(jax.nn.sigmoid(out.logits), inputs)
+        return loss, metrics
+
+    # -- steps --------------------------------------------------------------------
+
+    def make_train_step(self):
+        optimizer = self.optimizer
+
+        def train_step(state: TrainState, batch, key):
+            grad_fn = jax.value_and_grad(
+                lambda p: self._loss_fn(p, batch, key, train=True), has_aux=True
+            )
+            (_, metrics), grads = grad_fn(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1),
+                metrics,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def make_eval_step(self):
+        def eval_step(params, batch, key):
+            _, metrics = self._loss_fn(params, batch, key, train=False)
+            return metrics
+
+        return jax.jit(eval_step)
+
+    # -- forward helpers -------------------------------------------------------------
+
+    def _forward_fn(self):
+        if not hasattr(self, "_fwd_jit"):
+
+            def fwd(params, inputs, key):
+                return self.model.apply(
+                    {"params": params}, inputs, train=False,
+                    rngs={"sample": key},
+                )
+
+            self._fwd_jit = jax.jit(fwd)
+        return self._fwd_jit
+
+    def decode(self, z: np.ndarray) -> np.ndarray:
+        """Sigmoided decoder output for latent codes (host convenience)."""
+        if not hasattr(self, "_dec_jit"):
+
+            def dec(params, z):
+                logits = self.model.apply(
+                    {"params": params}, z, train=False, method="decode"
+                )
+                return jax.nn.sigmoid(logits)
+
+            self._dec_jit = jax.jit(dec)
+        state = self.ensure_state()
+        return np.asarray(self._dec_jit(state.params, jnp.asarray(z)))
+
+    # -- evaluation -------------------------------------------------------------------
+
+    def _extract_relevant_attributes(self, attributes):
+        attr_list = [
+            a for a in self.attr_dict.keys()
+            if a not in ("digit_identity", "color")
+        ]
+        attr_idx = [self.attr_dict[a] for a in attr_list]
+        return attributes[:, attr_idx], attr_list
+
+    def compute_representations(self, data_loader, num_batches: int = 200):
+        """Sampled-z latent harvest (reference image_vae_trainer.py:274-287)."""
+        state = self.ensure_state()
+        fwd = self._forward_fn()
+        latent_codes, attributes = [], []
+        for sample_id, batch in enumerate(data_loader):
+            inputs, labels = self.process_batch(batch)
+            key = jax.random.fold_in(self._base_key, 7_000_000 + sample_id)
+            out = fwd(state.params, jnp.asarray(inputs), key)
+            latent_codes.append(np.asarray(out.z_tilde))
+            attributes.append(labels)
+            if sample_id == num_batches:
+                break
+        latent_codes = np.concatenate(latent_codes, 0)
+        attributes = np.concatenate(attributes, 0)
+        attributes, attr_list = self._extract_relevant_attributes(attributes)
+        return latent_codes, attributes, attr_list
+
+    def compute_eval_metrics(self, batch_size: int = 128):
+        """Five-metric suite + test loss, cached as results_dict.json
+        (reference image_vae_trainer.py:289-317)."""
+        from arvae_tpu.eval import (
+            compute_correlation_score,
+            compute_interpretability_metric,
+            compute_mig,
+            compute_modularity,
+            compute_sap_score,
+        )
+
+        results_fp = os.path.join(self.run_dir, "results_dict.json")
+        if os.path.exists(results_fp):
+            with open(results_fp, "r") as infile:
+                self.metrics = json.load(infile)
+            return self.metrics
+
+        _, _, data_loader = self.dataset.data_loaders(batch_size=batch_size)
+        latent_codes, attributes, attr_list = self.compute_representations(
+            data_loader
+        )
+        self.metrics = {
+            "interpretability": compute_interpretability_metric(
+                latent_codes, attributes, attr_list
+            )
+        }
+        self.metrics.update(compute_correlation_score(latent_codes, attributes))
+        self.metrics.update(compute_modularity(latent_codes, attributes))
+        self.metrics.update(compute_mig(latent_codes, attributes))
+        self.metrics.update(compute_sap_score(latent_codes, attributes))
+        self.metrics.update(self.test_model(batch_size=batch_size))
+        if self.dataset_type == "mnist":
+            resnet_metrics = self.get_resnet_accuracy()
+            if resnet_metrics is not None:
+                self.metrics.update(resnet_metrics)
+        os.makedirs(self.run_dir, exist_ok=True)
+        with open(results_fp, "w") as outfile:
+            json.dump(self.metrics, outfile, indent=2)
+        return self.metrics
+
+    def test_model(self, batch_size: int = 128) -> Dict[str, float]:
+        """Recon loss/acc on the eval split (reference
+        image_vae_trainer.py:582-621)."""
+        _, _, gen_test = self.dataset.data_loaders(batch_size)
+        state = self.ensure_state()
+        if not hasattr(self, "_eval_step_fn") or self._eval_step_fn is None:
+            self._eval_step_fn = self.make_eval_step()
+        total_loss, total_acc, n = 0.0, 0.0, 0
+        fwd = self._forward_fn()
+        from arvae_tpu.ops.losses import pixel_accuracy as pix_acc
+        from arvae_tpu.ops.losses import reconstruction_loss as rec_loss
+
+        for sample_id, batch in enumerate(gen_test):
+            inputs, _ = self.process_batch(batch)
+            key = jax.random.fold_in(self._base_key, 9_000_000 + sample_id)
+            out = fwd(state.params, jnp.asarray(inputs), key)
+            loss = rec_loss(out.logits, jnp.asarray(inputs), self.hparams.dec_dist)
+            acc = pix_acc(jax.nn.sigmoid(out.logits), jnp.asarray(inputs))
+            total_loss += float(loss)
+            total_acc += float(acc)
+            n += 1
+        n = max(n, 1)
+        print("Test Epoch:")
+        print("\tTest Loss: ", total_loss / n, "\n\tTest Accuracy: ",
+              total_acc / n * 100)
+        return {"test_loss": total_loss / n, "test_acc": total_acc / n}
+
+    def get_resnet_accuracy(self) -> Optional[Dict]:
+        """Digit-identity preservation judged by an external ResNet
+        (reference image_vae_trainer.py:319-368). Returns None when no
+        trained judge checkpoint exists."""
+        from arvae_tpu.training.resnet_judge import load_judge, judge_accuracy
+
+        judge = load_judge()
+        if judge is None:
+            print("No MnistRESNET checkpoint found - skipping digit_pred_acc "
+                  "(train one with test_mnist.py)")
+            return None
+        return judge_accuracy(self, judge)
+
+    # -- artifact generation (reference image_vae_trainer.py:370-580) -----------
+
+    def plot_data_dist(self, latent_codes, attributes, attr_str, dim1=0, dim2=1):
+        from arvae_tpu.utils.plotting import plot_dim
+
+        save_filename = os.path.join(
+            self.get_save_dir(self.run_dir), f"data_dist_{attr_str}.png"
+        )
+        return plot_dim(
+            latent_codes,
+            attributes[:, self.attr_dict[attr_str]],
+            save_filename,
+            dim1=dim1,
+            dim2=dim2,
+            xlim=4.0,
+            ylim=4.0,
+        )
+
+    def compute_latent_interpolations(self, latent_code, dim1=0, num_points=10):
+        """1-D traversal grid over [-4, 4]
+        (reference image_vae_trainer.py:381-389)."""
+        from arvae_tpu.utils.plotting import make_grid
+
+        x1 = np.linspace(-4.0, 4.0, num_points)
+        z = np.repeat(np.asarray(latent_code), num_points, axis=0)
+        z[:, dim1] = x1
+        outputs = self.decode(z)
+        return make_grid(outputs, nrow=num_points, pad_value=1.0)
+
+    def compute_latent_interpolations2d(
+        self, latent_code, dim1=0, dim2=1, num_points=10
+    ):
+        """2-D traversal grid (reference image_vae_trainer.py:391-403)."""
+        from arvae_tpu.utils.plotting import make_grid
+
+        x = np.linspace(-4.0, 4.0, num_points)
+        z1, z2 = np.meshgrid(x, x, indexing="ij")
+        total = num_points * num_points
+        z = np.repeat(np.asarray(latent_code), total, axis=0)
+        z[:, dim1] = z1.reshape(-1)
+        z[:, dim2] = z2.reshape(-1)
+        outputs = self.decode(z)
+        return make_grid(outputs, nrow=num_points, pad_value=1.0)
+
+    def plot_latent_reconstructions(self, num_points=10):
+        """Original/reconstruction dumps
+        (reference image_vae_trainer.py:405-428)."""
+        from arvae_tpu.utils.plotting import save_image_grid
+
+        _, _, data_loader = self.dataset.data_loaders(batch_size=num_points)
+        state = self.ensure_state()
+        fwd = self._forward_fn()
+        for sample_id, batch in enumerate(data_loader):
+            inputs, _ = self.process_batch(batch)
+            key = jax.random.fold_in(self._base_key, 5_000_000)
+            out = fwd(state.params, jnp.asarray(inputs), key)
+            recons = np.asarray(jax.nn.sigmoid(out.logits))
+            save_dir = self.get_save_dir(self.run_dir)
+            save_image_grid(
+                inputs, os.path.join(save_dir, f"r_original_{sample_id}.png"),
+                nrow=num_points, pad_value=1.0,
+            )
+            save_image_grid(
+                recons, os.path.join(save_dir, f"r_recons_{sample_id}.png"),
+                nrow=num_points, pad_value=1.0,
+            )
+            break
+
+    def create_latent_gifs(self, sample_id=9, num_points=10):
+        """Traversal GIF over every regularized attribute
+        (reference image_vae_trainer.py:430-464)."""
+        from arvae_tpu.utils.plotting import (
+            grid_to_pil,
+            make_grid,
+            save_gif_from_list,
+        )
+
+        x1 = np.linspace(-4.0, 4.0, num_points)
+        _, _, data_loader = self.dataset.data_loaders(batch_size=1)
+        interp_dict = self.compute_eval_metrics()["interpretability"]
+        state = self.ensure_state()
+        fwd = self._forward_fn()
+        for sid, batch in enumerate(data_loader):
+            if sid != sample_id:
+                if sid > sample_id:
+                    break
+                continue
+            inputs, _ = self.process_batch(batch)
+            key = jax.random.fold_in(self._base_key, 6_000_000 + sid)
+            out = fwd(state.params, jnp.asarray(inputs), key)
+            z = np.repeat(np.asarray(out.z_tilde), num_points, axis=0)
+            outputs = []
+            for attr_str in self.attr_dict.keys():
+                if attr_str in ("digit_identity", "color"):
+                    continue
+                dim = interp_dict[attr_str][0]
+                z_copy = z.copy()
+                z_copy[:, dim] = x1
+                outputs.append(self.decode(z_copy))
+            stacked = np.stack(outputs, axis=1)  # (T, n_attr, 1, H, W)
+            frames = []
+            for n in range(stacked.shape[0]):
+                grid = make_grid(
+                    stacked[n, :, 0:1, :, :].reshape(-1, 1, *stacked.shape[-2:]),
+                    nrow=stacked.shape[1],
+                    padding=2,
+                    pad_value=1.0,
+                )
+                frames.append(grid_to_pil(grid))
+            gif_fp = os.path.join(
+                self.get_save_dir(self.run_dir),
+                f"gif_interpolations_{self.dataset_type}_{sample_id}.gif",
+            )
+            save_gif_from_list(frames, gif_fp)
+            break
+
+    def plot_latent_interpolations(self, attr_str="slant", num_points=10):
+        """Per-attribute interpolation PNGs for the reference's fixed
+        sample set (image_vae_trainer.py:466-506)."""
+        from arvae_tpu.utils.plotting import save_image_grid
+
+        sample_ids = {5, 1, 30, 19, 23, 21, 17, 61, 9, 28}
+        x1 = np.linspace(-4.0, 4.0, num_points)
+        _, _, data_loader = self.dataset.data_loaders(batch_size=1)
+        interp_dict = self.compute_eval_metrics()["interpretability"]
+        dim = interp_dict[attr_str][0]
+        state = self.ensure_state()
+        fwd = self._forward_fn()
+        save_dir = self.get_save_dir(self.run_dir)
+        for sample_id, batch in enumerate(data_loader):
+            if sample_id in sample_ids:
+                inputs, _ = self.process_batch(batch)
+                key = jax.random.fold_in(self._base_key, 6_500_000 + sample_id)
+                out = fwd(state.params, jnp.asarray(inputs), key)
+                recons = np.asarray(jax.nn.sigmoid(out.logits))
+                z = np.repeat(np.asarray(out.z_tilde), num_points, axis=0)
+                z[:, dim] = x1
+                outputs = self.decode(z)
+                save_image_grid(
+                    outputs,
+                    os.path.join(
+                        save_dir,
+                        f"latent_interpolations_{attr_str}_{sample_id}.png",
+                    ),
+                    nrow=num_points, pad_value=1.0,
+                )
+                save_image_grid(
+                    inputs, os.path.join(save_dir, f"original_{sample_id}.png"),
+                    nrow=1, pad_value=1.0,
+                )
+                save_image_grid(
+                    recons, os.path.join(save_dir, f"recons_{sample_id}.png"),
+                    nrow=1, pad_value=1.0,
+                )
+            if sample_id == 62:
+                break
+
+    def plot_latent_interpolations2d(self, attr_str1, attr_str2, num_points=10):
+        """2-D interpolation PNG (reference image_vae_trainer.py:508-552)."""
+        from arvae_tpu.utils.plotting import save_image_grid, make_grid
+
+        _, _, data_loader = self.dataset.data_loaders(batch_size=1)
+        interp_dict = self.compute_eval_metrics()["interpretability"]
+        dim1 = interp_dict[attr_str1][0]
+        dim2 = interp_dict[attr_str2][0]
+        state = self.ensure_state()
+        fwd = self._forward_fn()
+        save_dir = self.get_save_dir(self.run_dir)
+        for sample_id, batch in enumerate(data_loader):
+            if sample_id == 9:
+                inputs, _ = self.process_batch(batch)
+                key = jax.random.fold_in(self._base_key, 6_600_000)
+                out = fwd(state.params, jnp.asarray(inputs), key)
+                grid = self.compute_latent_interpolations2d(
+                    np.asarray(out.z_tilde), dim1, dim2, num_points
+                )
+                from arvae_tpu.utils.plotting import grid_to_pil
+
+                grid_to_pil(grid).save(
+                    os.path.join(
+                        save_dir,
+                        f"latent_interpolations_2d_({attr_str1},{attr_str2})"
+                        f"_{sample_id}.png",
+                    )
+                )
+            if sample_id == 10:
+                break
+
+    def plot_latent_surface(self, attr_str, dim1=0, dim2=1, grid_res=0.1):
+        """Latent surface labeled by re-measured morphometrics
+        (reference image_vae_trainer.py:554-580)."""
+        from arvae_tpu.utils.plotting import plot_dim
+
+        x = np.arange(-5.0, 5.0, grid_res)
+        z1, z2 = np.meshgrid(x, x, indexing="ij")
+        num_points = z1.size
+        rng = np.random.RandomState(self.hparams.rand)
+        z = np.repeat(
+            rng.randn(1, self.model.z_dim).astype(np.float32), num_points, 0
+        )
+        z[:, dim1] = z1.reshape(-1)
+        z[:, dim2] = z2.reshape(-1)
+
+        mini_batch = 500
+        num_mini = num_points // mini_batch
+        labels_all = []
+        for i in range(num_mini):
+            zb = z[i * mini_batch : (i + 1) * mini_batch]
+            outputs = self.decode(zb)
+            labels_all.append(self.compute_mnist_morpho_labels(outputs, attr_str))
+        labels_all = np.concatenate(labels_all, 0)
+        z = z[: num_mini * mini_batch]
+        save_filename = os.path.join(
+            self.get_save_dir(self.run_dir), f"latent_surface_{attr_str}.png"
+        )
+        plot_dim(z, labels_all, save_filename, dim1=dim1, dim2=dim2)
+
+    def compute_mnist_morpho_labels(self, outputs, morpho_attr_str=None):
+        """Re-measures morphometrics of decoded images on host with a
+        process pool (reference image_vae_trainer.py:668-674)."""
+        import multiprocessing
+
+        from arvae_tpu.data.morphomnist.measure import measure_batch
+
+        a = np.asarray(outputs).squeeze(axis=1)
+        with multiprocessing.Pool() as pool:
+            labels = measure_batch(a, pool=pool).values
+        if morpho_attr_str is not None:
+            labels = labels[:, self.attr_dict[morpho_attr_str] - 1]
+        return labels
+
+    # -- per-epoch eval hook (tensorboard images/metrics) -----------------------
+
+    def eval_model(self, data_loader, epoch_num: int = 0):
+        if self.writer is None:
+            return None
+        from arvae_tpu.eval import compute_interpretability_metric
+
+        latent_codes, attributes, attr_list = self.compute_representations(
+            data_loader, num_batches=20
+        )
+        interp_metrics = compute_interpretability_metric(
+            latent_codes, attributes, attr_list
+        )
+        for attr in interp_metrics.keys():
+            self.writer.add_scalar(
+                "interpretability_metric/" + attr,
+                interp_metrics[attr][1],
+                epoch_num,
+            )
+        return {"interpretability": interp_metrics}

@@ -1,0 +1,123 @@
+"""Train an image AR-VAE (MNIST / dSprites) — CLI-compatible with the
+reference ``train_image_vae.py:12-157``.
+
+Examples:
+    python train_image_vae.py -d dsprites --rand 0 -r all --beta 1.0
+    python train_image_vae.py -d mnist --num_epochs 100 -r slant -r thickness
+"""
+
+import json
+
+import click
+
+from arvae_tpu.data.dsprites import DspritesDataset
+from arvae_tpu.data.mnist import MorphoMnistDataset
+from arvae_tpu.models import DspritesVAE, MnistVAE
+from arvae_tpu.training.image_trainer import (
+    DSPRITES_REG_TYPE,
+    MNIST_REG_TYPES,
+    ImageVAETrainer,
+)
+
+
+@click.command()
+@click.option("--dataset_type", "-d", default="mnist",
+              help="dataset to be used, `mnist` or `dsprites`")
+@click.option("--batch_size", default=128, help="training batch size")
+@click.option("--num_epochs", default=100, help="number of training epochs")
+@click.option("--lr", default=1e-4, help="learning rate")
+@click.option("--beta", default=4.0, help="parameter for weighting KLD loss")
+@click.option("--capacity", default=0.0, help="parameter for beta-VAE capacity")
+@click.option("--gamma", default=10.0,
+              help="parameter for weighting regularization loss")
+@click.option("--delta", default=1.0, help="parameter for controlling the spread")
+@click.option("--dec_dist", default="bernoulli",
+              help="distribution of the decoder")
+@click.option("--train/--test", "do_train", default=True,
+              help="train or test the specified model")
+@click.option("--log/--no_log", default=False,
+              help="log the results for tensorboard")
+@click.option("--rand", default=None,
+              help="random seed for the random number generator")
+@click.option("--reg_type", "-r", default=None, multiple=True,
+              help="attribute name string to be used for regularization")
+@click.option("--short/--full", default=False,
+              help="use a reduced dSprites factor grid for quick runs")
+@click.option("--pallas/--no_pallas", "use_pallas", default=None,
+              help="force the fused Pallas reg-loss kernel on/off")
+def main(
+    dataset_type,
+    batch_size,
+    num_epochs,
+    lr,
+    beta,
+    capacity,
+    gamma,
+    delta,
+    dec_dist,
+    do_train,
+    log,
+    rand,
+    reg_type,
+    short,
+    use_pallas,
+):
+    if dataset_type == "mnist":
+        dataset = MorphoMnistDataset()
+        model = MnistVAE()
+        attr_dict = MNIST_REG_TYPES
+    elif dataset_type == "dsprites":
+        factor_sizes = (1, 3, 3, 10, 16, 16) if short else (1, 3, 6, 40, 32, 32)
+        dataset = DspritesDataset(factor_sizes=factor_sizes)
+        model = DspritesVAE()
+        attr_dict = DSPRITES_REG_TYPE
+    else:
+        raise ValueError("Invalid dataset_type. Choose between mnist and dsprites")
+
+    # reg-name -> latent-dim expansion (reference train_image_vae.py:73-89)
+    reg_type = tuple(reg_type or ())
+    if len(reg_type) != 0:
+        if len(reg_type) == 1 and reg_type[0] == "all":
+            reg_dim = tuple(
+                v for k, v in attr_dict.items()
+                if k not in ("digit_identity", "color")
+            )
+        else:
+            reg_dim = tuple(attr_dict[r] for r in reg_type)
+    else:
+        reg_dim = (0,)
+
+    seeds = range(0, 10) if rand is None else [int(rand)]
+    for r in seeds:
+        trainer = ImageVAETrainer(
+            dataset=dataset,
+            model=model,
+            lr=lr,
+            reg_type=reg_type,
+            reg_dim=reg_dim,
+            beta=beta,
+            capacity=capacity,
+            gamma=gamma,
+            delta=delta,
+            dec_dist=dec_dist,
+            rand=r,
+            use_pallas=use_pallas,
+        )
+
+        if do_train:
+            trainer.train_model(
+                batch_size=batch_size, num_epochs=num_epochs, log=log
+            )
+        else:
+            trainer.load_model()
+
+        trainer.writer = None
+        metrics = trainer.compute_eval_metrics(batch_size=batch_size)
+        print(json.dumps(metrics, indent=2))
+
+        for sample_id in [0, 1, 4]:
+            trainer.create_latent_gifs(sample_id=sample_id)
+
+
+if __name__ == "__main__":
+    main()
