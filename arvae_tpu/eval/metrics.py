@@ -41,7 +41,7 @@ def continuous_entropy(ys: np.ndarray) -> np.ndarray:
     num_factors = ys.shape[1]
     h = np.zeros(num_factors)
     for j in range(num_factors):
-        h[j] = mutual_info_regression(ys[:, j].reshape(-1, 1), ys[:, j])
+        h[j] = mutual_info_regression(ys[:, j].reshape(-1, 1), ys[:, j])[0]
     return h
 
 

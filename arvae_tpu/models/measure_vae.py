@@ -1,0 +1,331 @@
+"""MeasureVAE: seq-to-seq VAE over one music measure (24 tokens).
+
+Capability parity with the reference ``measurevae/``:
+
+- ``Encoder`` (reference encoder.py:8-124): Embedding(V, 10) → 2-layer
+  biGRU(H) → concat final hiddens of all layers/directions →
+  two (Dense → SELU → Dense) heads → (z_mean, z_log_std).
+- ``HierarchicalDecoder`` (reference decoder.py:309-525): z → beat-GRU
+  init; beat GRU unrolled 4 steps over a learned input ``b_0``; per
+  beat, a tick GRU unrolled 6 steps whose input is
+  [prev-note embedding ‖ beat embedding] and whose output head is
+  Dense → ReLU logits; the next input embeds either the teacher token
+  or the model's own argmax/multinomial sample. Teacher forcing is one
+  coin flip per batch (reference decoder.py:427-428).
+- ``MeasureVAE`` (reference measure_vae.py:11-166) composes the two.
+
+TPU-first re-design: the reference runs the tick loop as 24 Python-level
+GRU invocations per batch (the hottest loop in its profile, SURVEY.md
+§3.2); here the whole 4×6 hierarchy is ONE ``jax.lax.scan`` over 24
+steps with static shapes — hidden resets at beat boundaries become a
+``where`` on a precomputed per-beat init, and the teacher-forcing coin
+flip becomes a traced select, so train and sample paths share one
+compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from arvae_tpu.ops.gru import gru_cell, gru_forward, init_stacked_gru_params
+
+_XAVIER = jax.nn.initializers.xavier_normal()
+
+NUM_BEATS_PER_MEASURE = 4
+NUM_TICKS_PER_BEAT = 6
+MEASURE_SEQ_LEN = NUM_BEATS_PER_MEASURE * NUM_TICKS_PER_BEAT  # 24
+
+
+@struct.dataclass
+class MeasureVAEOutput:
+    """Functional stand-in for the reference 6-tuple
+    (weights, samples, z_dist, prior_dist, z_tilde, z_prior)."""
+
+    weights: jax.Array  # (B, 24, V) logits
+    samples: jax.Array  # (B, 24) int32
+    z_mean: jax.Array
+    z_log_std: jax.Array
+    z_tilde: jax.Array
+    z_prior: jax.Array
+
+
+def _dense_params(self, name, in_dim, out_dim):
+    w = self.param(f"{name}_w", _XAVIER, (in_dim, out_dim))
+    b = self.param(f"{name}_b", nn.initializers.zeros, (out_dim,))
+    return w, b
+
+
+class Encoder(nn.Module):
+    """Bidirectional GRU encoder (reference encoder.py:8-124)."""
+
+    num_notes: int
+    note_embedding_dim: int = 10
+    rnn_hidden_size: int = 512
+    num_layers: int = 2
+    dropout: float = 0.5
+    z_dim: int = 256
+
+    def setup(self):
+        self.embedding = self.param(
+            "embedding", _XAVIER, (self.num_notes, self.note_embedding_dim)
+        )
+        self.gru_params = self.param(
+            "gru",
+            lambda rng: init_stacked_gru_params(
+                rng,
+                self.note_embedding_dim,
+                self.rnn_hidden_size,
+                self.num_layers,
+                bidirectional=True,
+            ),
+        )
+        flat = self.rnn_hidden_size * 2 * self.num_layers
+        mid = self.rnn_hidden_size * 2
+        self.mean_w1, self.mean_b1 = _dense_params(self, "mean1", flat, mid)
+        self.mean_w2, self.mean_b2 = _dense_params(self, "mean2", mid, self.z_dim)
+        self.std_w1, self.std_b1 = _dense_params(self, "std1", flat, mid)
+        self.std_w2, self.std_b2 = _dense_params(self, "std2", mid, self.z_dim)
+
+    def __call__(
+        self, score: jax.Array, train: bool = True,
+        dropout_rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        batch = score.shape[0]
+        embedded = jnp.take(self.embedding, score, axis=0)  # (B, T, E)
+        h0 = jnp.zeros(
+            (self.num_layers * 2, batch, self.rnn_hidden_size), jnp.float32
+        )
+        if train and dropout_rng is None:
+            dropout_rng = self.make_rng("dropout")
+        _, h_n = gru_forward(
+            self.gru_params,
+            embedded,
+            h0,
+            bidirectional=True,
+            dropout_rate=self.dropout,
+            dropout_rng=dropout_rng,
+            train=train,
+        )
+        # (L*D, B, H) -> (B, L*D*H), matching hidden.transpose(0,1).view(B,-1)
+        hidden = jnp.transpose(h_n, (1, 0, 2)).reshape(batch, -1)
+        z_mean = (
+            nn.selu(hidden @ self.mean_w1 + self.mean_b1) @ self.mean_w2
+            + self.mean_b2
+        )
+        z_log_std = (
+            nn.selu(hidden @ self.std_w1 + self.std_b1) @ self.std_w2
+            + self.std_b2
+        )
+        return z_mean, z_log_std
+
+
+class HierarchicalDecoder(nn.Module):
+    """Beat-RNN / tick-RNN hierarchical decoder
+    (reference decoder.py:309-525)."""
+
+    num_notes: int
+    note_embedding_dim: int = 10
+    rnn_hidden_size: int = 512
+    num_layers: int = 2
+    dropout: float = 0.5
+    z_dim: int = 256
+    teacher_forcing_prob: float = 0.5
+    sampling: str = "argmax"  # 'argmax' | 'multinomial'
+
+    def setup(self):
+        H, L, E, V = (
+            self.rnn_hidden_size,
+            self.num_layers,
+            self.note_embedding_dim,
+            self.num_notes,
+        )
+        self.embedding = self.param("embedding", _XAVIER, (V, E))
+        self.z2beat_w, self.z2beat_b = _dense_params(self, "z2beat",
+                                                     self.z_dim, H * L)
+        self.b_0 = self.param("b_0", nn.initializers.zeros, (1,))
+        self.beat_gru = self.param(
+            "beat_gru",
+            lambda rng: init_stacked_gru_params(rng, 1, H, L),
+        )
+        self.beat2tickh_w, self.beat2tickh_b = _dense_params(
+            self, "beat2tickh", H, H * L
+        )
+        self.beat2ticki_w, self.beat2ticki_b = _dense_params(
+            self, "beat2ticki", H, H
+        )
+        self.x_0 = self.param("x_0", nn.initializers.zeros, (E,))
+        self.tick_gru = self.param(
+            "tick_gru",
+            lambda rng: init_stacked_gru_params(rng, E + H, H, L),
+        )
+        self.out_w, self.out_b = _dense_params(self, "out", H, V)
+
+    def _multi_layer_step(self, x, h, dropout_rng, train):
+        """One time step through L stacked GRU layers.
+        x: (B, E+H); h: (L, B, H) → (top output (B, H), new h)."""
+        new_h = []
+        inp = x
+        for layer_idx, p in enumerate(self.tick_gru):
+            h_l = gru_cell(p, inp, h[layer_idx])
+            new_h.append(h_l)
+            inp = h_l
+            if (
+                train
+                and self.dropout > 0.0
+                and layer_idx < self.num_layers - 1
+                and dropout_rng is not None
+            ):
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_rng, layer_idx),
+                    1.0 - self.dropout,
+                    inp.shape,
+                )
+                inp = jnp.where(keep, inp / (1.0 - self.dropout), 0.0)
+        return inp, jnp.stack(new_h, 0)
+
+    def __call__(
+        self,
+        z: jax.Array,
+        score: jax.Array,
+        train: bool = True,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (weights (B, 24, V) logits, samples (B, 24))."""
+        B = z.shape[0]
+        H, L, E = self.rnn_hidden_size, self.num_layers, self.note_embedding_dim
+        if key is None:
+            key = self.make_rng("sample")
+        k_tf, k_drop, k_samp = jax.random.split(key, 3)
+
+        # one teacher-forcing coin flip per batch (decoder.py:427-428)
+        if train:
+            teacher_forced = (
+                jax.random.uniform(k_tf, ()) < self.teacher_forcing_prob
+            )
+        else:
+            teacher_forced = jnp.asarray(False)
+        sampling = self.sampling if train else "argmax"
+
+        # -- beat RNN (4 steps over learned b_0) --------------------------
+        h0_beat = nn.selu(z @ self.z2beat_w + self.z2beat_b)
+        h0_beat = jnp.transpose(h0_beat.reshape(B, L, H), (1, 0, 2))
+        beat_in = jnp.broadcast_to(
+            self.b_0[None, None, :], (B, NUM_BEATS_PER_MEASURE, 1)
+        )
+        beat_out, _ = gru_forward(
+            self.beat_gru, beat_in, h0_beat,
+            dropout_rate=self.dropout,
+            dropout_rng=k_drop if train else None,
+            train=train,
+        )  # (B, 4, H)
+
+        # -- precompute per-beat tick initializations ----------------------
+        tick_h0 = nn.selu(beat_out @ self.beat2tickh_w + self.beat2tickh_b)
+        tick_h0 = jnp.transpose(
+            tick_h0.reshape(B, NUM_BEATS_PER_MEASURE, L, H), (1, 2, 0, 3)
+        )  # (4, L, B, H)
+        beat_emb_in = nn.selu(
+            beat_out @ self.beat2ticki_w + self.beat2ticki_b
+        )  # (B, 4, H)
+        beat_emb_in = jnp.transpose(beat_emb_in, (1, 0, 2))  # (4, B, H)
+
+        # -- tick RNN: one scan over all 24 ticks --------------------------
+        x0 = jnp.broadcast_to(self.x_0[None, :], (B, E))
+
+        def step(carry, t):
+            h, prev_emb = carry
+            ib = t // NUM_TICKS_PER_BEAT
+            reset = (t % NUM_TICKS_PER_BEAT) == 0
+            h = jnp.where(reset, tick_h0[ib], h)
+            x_in = jnp.concatenate([prev_emb, beat_emb_in[ib]], axis=-1)
+            step_drop = (
+                jax.random.fold_in(k_drop, t + 100) if train else None
+            )
+            top, h = self._multi_layer_step(x_in, h, step_drop, train)
+            logits = nn.relu(top @ self.out_w + self.out_b)  # (B, V)
+            if sampling == "multinomial":
+                sampled = jax.random.categorical(
+                    jax.random.fold_in(k_samp, t), logits, axis=-1
+                )
+            else:
+                sampled = jnp.argmax(logits, axis=-1)
+            teacher_tok = score[:, t]
+            next_tok = jnp.where(teacher_forced, teacher_tok, sampled)
+            next_tok = jax.lax.stop_gradient(next_tok.astype(jnp.int32))
+            prev_emb = jnp.take(self.embedding, next_tok, axis=0)
+            return (h, prev_emb), (logits, next_tok)
+
+        h_init = jnp.zeros((L, B, H), jnp.float32)
+        (_, _), (weights, samples) = jax.lax.scan(
+            step, (h_init, x0), jnp.arange(MEASURE_SEQ_LEN)
+        )
+        weights = jnp.transpose(weights, (1, 0, 2))  # (B, 24, V)
+        samples = jnp.transpose(samples, (1, 0))  # (B, 24)
+        return weights, samples
+
+
+class MeasureVAE(nn.Module):
+    """Encoder + HierarchicalDecoder VAE (reference measure_vae.py:11-166)."""
+
+    num_notes: int
+    note_embedding_dim: int = 10
+    num_encoder_layers: int = 2
+    encoder_hidden_size: int = 512
+    encoder_dropout_prob: float = 0.5
+    latent_space_dim: int = 256
+    num_decoder_layers: int = 2
+    decoder_hidden_size: int = 512
+    decoder_dropout_prob: float = 0.5
+
+    def setup(self):
+        self.encoder = Encoder(
+            num_notes=self.num_notes,
+            note_embedding_dim=self.note_embedding_dim,
+            rnn_hidden_size=self.encoder_hidden_size,
+            num_layers=self.num_encoder_layers,
+            dropout=self.encoder_dropout_prob,
+            z_dim=self.latent_space_dim,
+        )
+        self.decoder = HierarchicalDecoder(
+            num_notes=self.num_notes,
+            note_embedding_dim=self.note_embedding_dim,
+            rnn_hidden_size=self.decoder_hidden_size,
+            num_layers=self.num_decoder_layers,
+            dropout=self.decoder_dropout_prob,
+            z_dim=self.latent_space_dim,
+        )
+
+    def encode(self, score, train: bool = True, dropout_rng=None):
+        return self.encoder(score, train=train, dropout_rng=dropout_rng)
+
+    def decode(self, z, score, train: bool = False, key=None):
+        return self.decoder(z, score, train=train, key=key)
+
+    def __call__(
+        self, score: jax.Array, train: bool = True,
+        rng_key: Optional[jax.Array] = None,
+    ) -> MeasureVAEOutput:
+        assert score.shape[1] == MEASURE_SEQ_LEN
+        if rng_key is None:
+            rng_key = self.make_rng("sample")
+        k_enc, k_rep, k_prior, k_dec = jax.random.split(rng_key, 4)
+        z_mean, z_log_std = self.encoder(
+            score, train=train, dropout_rng=k_enc if train else None
+        )
+        eps = jax.random.normal(k_rep, z_mean.shape, z_mean.dtype)
+        z_tilde = z_mean + jnp.exp(z_log_std) * eps
+        z_prior = jax.random.normal(k_prior, z_mean.shape, z_mean.dtype)
+        weights, samples = self.decoder(z_tilde, score, train=train, key=k_dec)
+        return MeasureVAEOutput(
+            weights=weights,
+            samples=samples,
+            z_mean=z_mean,
+            z_log_std=z_log_std,
+            z_tilde=z_tilde,
+            z_prior=z_prior,
+        )
