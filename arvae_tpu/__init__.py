@@ -17,3 +17,20 @@ Layer map (mirrors SURVEY.md §1 of the reference, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: first compiles of the conv VAEs cost
+# minutes on this toolchain; cache them across processes.
+import os as _os
+
+if not _os.environ.get("ARVAE_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/arvae_jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # older jax without these options
+        pass

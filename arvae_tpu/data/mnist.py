@@ -82,10 +82,18 @@ class MnistDataset(SplitArrayDataset):
             print(f"measuring morphometrics for {kind} ({len(images)} images)...")
             morpho = _measure_images((images[:, 0] * 255).astype(np.uint8))
             pd.DataFrame(
-                morpho,
-                columns=["area", "length", "thickness", "slant", "width", "height"],
+                np.concatenate([labels[:, None].astype(np.float32), morpho], 1),
+                columns=["digit_identity", "area", "length", "thickness",
+                         "slant", "width", "height"],
             ).to_csv(mor_p, index=False)
         morpho = pd.read_csv(mor_p).values.astype(np.float32)
+        # MNIST_REG_TYPES indexes morpho columns 1..6 with column 0 a
+        # digit/index placeholder (the reference's Morpho-MNIST CSVs lead
+        # with an index column). Normalize older 6-column caches.
+        if morpho.shape[1] == 6:
+            morpho = np.concatenate(
+                [labels[:, None].astype(np.float32), morpho], 1
+            )
         return images, labels, morpho
 
     def _generate_synthetic(self, kind: str):

@@ -86,9 +86,12 @@ class MnistVAE(nn.Module):
                 kernel_init=_XAVIER,
             ),
         ]
+        # ConvTranspose(k4, s1, VALID) expressed as pad(3)+Conv — identical
+        # math, but the conv/conv-transpose mixed backward graph compiles
+        # pathologically slowly on the TPU toolchain here (>9 min vs ~2 min).
         self.dec_convs = [
-            nn.ConvTranspose(f, (4, 4), strides=(1, 1), padding="VALID",
-                             kernel_init=_XAVIER)
+            nn.Conv(f, (4, 4), strides=1, padding=((3, 3), (3, 3)),
+                    kernel_init=_XAVIER)
             for f in (64, 64, 1)
         ]
         self.dropout = nn.Dropout(self.dropout_rate)
