@@ -30,7 +30,21 @@ _SKEL_LEN_MASK = np.array(
 
 
 def zhang_suen_thin(img: np.ndarray, max_iter: int = 200) -> np.ndarray:
-    """Binary skeleton via Zhang–Suen thinning (vectorized numpy)."""
+    """Binary skeleton via Zhang–Suen thinning.
+
+    Dispatches to the native C++ batch kernel
+    (:mod:`arvae_tpu.data.morphomnist.native`) when available; the numpy
+    implementation below is the bit-identical fallback/reference.
+    """
+    from arvae_tpu.data.morphomnist import native
+
+    out = native.zhang_suen_thin_batch(img[None], max_iter=max_iter)
+    if out is not None:
+        return out[0]
+    return _zhang_suen_thin_numpy(img, max_iter)
+
+
+def _zhang_suen_thin_numpy(img: np.ndarray, max_iter: int = 200) -> np.ndarray:
     img = img.astype(bool).copy()
 
     def neighbors(a):
