@@ -164,7 +164,11 @@ def total_reg_loss(
     and the label column need not share an index.
 
     With ``use_pallas=True`` the stacked (R, B) columns go through the
-    fused VMEM kernel in :mod:`arvae_tpu.ops.reg_pallas`.
+    hand-fused VMEM kernel in :mod:`arvae_tpu.ops.reg_pallas`. Measured
+    on TPU v5e, XLA fuses this pattern to the same ~20-35us as the
+    Pallas kernel for B in [128, 4096] (both launch-bound), so XLA is
+    the default; the kernel remains the validated fallback for batch
+    regimes where the B^2 materialization would spill.
     """
     if len(reg_dims) == 0:
         return jnp.asarray(0.0, jnp.float32)

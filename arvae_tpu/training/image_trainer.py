@@ -2,8 +2,10 @@
 
 One jitted train step computes the full objective
 recon + β-capacity-KLD + Σ_dims γ·AR-reg (reference loss at
-``image_vae_trainer.py:137-217``), with the O(B²) reg block going
-through the fused Pallas kernel on TPU. Evaluation reproduces the
+``image_vae_trainer.py:137-217``); the O(B²) reg block fuses in XLA by
+default, with the hand-written Pallas kernel selectable via
+``use_pallas`` (see the dispatch note in ops/losses.py). Evaluation
+reproduces the
 reference protocol: sampled-z latent harvest capped at 201 batches
 (``:274-287``), the five-metric suite, test loss/acc, and a
 ``results_dict.json`` cache with the identical schema (``:289-317``).
@@ -109,7 +111,7 @@ class ImageVAETrainer(BaseTrainer):
         )
         super().__init__(dataset, model, hp, mesh=mesh)
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = False  # XLA fuses the pairwise block as fast (see ops/losses.py)
         self.use_pallas = use_pallas
         self._example_shape = (
             (1, 1, 28, 28) if self.dataset_type == "mnist" else (1, 1, 64, 64)

@@ -68,7 +68,7 @@ class MeasureVAETrainer(BaseTrainer):
         )
         super().__init__(dataset, model, hp, mesh=mesh)
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = False  # XLA fuses the pairwise block as fast (see ops/losses.py)
         self.use_pallas = use_pallas
         self.attrs = dataset.attrs  # MusicAttributes tables
 

@@ -13,6 +13,7 @@ by ``scripts/measure_baseline_torch.py`` and cached in
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import os
 import time
@@ -36,7 +37,10 @@ def measure_ours() -> float:
     ctx = create_mesh()
     model = DspritesVAE()
     reg_pairs = tuple((d, d) for d in (1, 2, 3, 4, 5))
-    use_pallas = jax.default_backend() == "tpu"
+    # XLA fuses the pairwise reg block as fast as the Pallas kernel at
+    # this size (measured: both launch-bound, ops/losses.py); the env
+    # toggle keeps the kernel benchmarkable.
+    use_pallas = bool(os.environ.get("ARVAE_BENCH_PALLAS"))
 
     def loss_fn(params, images, labels, key):
         k_drop, k_sample = jax.random.split(key)
@@ -52,7 +56,7 @@ def measure_ours() -> float:
 
     optimizer = optax.adam(1e-4)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, images, labels, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, images, labels, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
