@@ -1,0 +1,61 @@
+"""Host→device prefetching.
+
+The reference's input path is a synchronous per-batch ``.cuda()`` copy
+inside the train loop (``utils/trainer.py:126-135``). Here a background
+thread runs the host work (numpy slicing, bit-unpacking, dtype casts)
+and ``device_put``s the next batches while the TPU executes the current
+step, keeping the device queue full.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterable, Iterator, Optional
+
+from arvae_tpu.parallel import MeshContext, shard_batch
+
+
+class DevicePrefetcher:
+    """Wraps a host batch iterable; yields device-sharded batches with
+    ``depth`` batches in flight."""
+
+    def __init__(
+        self,
+        loader: Iterable,
+        mesh: MeshContext,
+        process_fn: Optional[Callable[[Any], Any]] = None,
+        depth: int = 2,
+    ):
+        self.loader = loader
+        self.mesh = mesh
+        self.process_fn = process_fn or (lambda x: x)
+        self.depth = depth
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self) -> Iterator[Any]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _SENTINEL = object()
+        err: list = []
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    batch = self.process_fn(batch)
+                    q.put(shard_batch(self.mesh, batch))
+            except BaseException as e:  # surface worker errors to consumer
+                err.append(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item

@@ -105,14 +105,20 @@ class BaseTrainer(abc.ABC):
     def loss_and_acc_on_epoch(
         self, loader: Iterable, epoch_num: int, train: bool
     ) -> Tuple[float, float]:
+        from arvae_tpu.data.prefetch import DevicePrefetcher
+
         if train:
             step_fn = self._train_step_fn
         else:
             step_fn = self._eval_step_fn
-        total_loss, total_acc, n = 0.0, 0.0, 0
-        for batch_num, batch in enumerate(loader):
-            batch = self.process_batch(batch)
-            batch = shard_batch(self.mesh, batch)
+        # background host work + device_put; metric totals stay on device
+        # so the step queue never drains on a host sync
+        prefetch = DevicePrefetcher(
+            loader, self.mesh, process_fn=self.process_batch
+        )
+        totals = None
+        n = 0
+        for batch_num, batch in enumerate(prefetch):
             key = jax.random.fold_in(
                 self._base_key, (epoch_num + 1) * 100003 + batch_num * 2 + train
             )
@@ -120,13 +126,20 @@ class BaseTrainer(abc.ABC):
                 self.state, metrics = step_fn(self.state, batch, key)
             else:
                 metrics = step_fn(self.state.params, batch, key)
-            total_loss += float(metrics["loss"])
-            total_acc += float(metrics.get("accuracy", 0.0))
-            n += 1
             if batch_num == 0 and train:
-                self._log_loss_split(metrics, epoch_num)
-        n = max(n, 1)
-        return total_loss / n, total_acc / n
+                self._log_loss_split(metrics, epoch_num)  # one host sync
+            totals = (
+                metrics
+                if totals is None
+                else jax.tree_util.tree_map(jnp.add, totals, metrics)
+            )
+            n += 1
+        if totals is None:
+            return 0.0, 0.0
+        return (
+            float(totals["loss"]) / n,
+            float(totals.get("accuracy", 0.0)) / n,
+        )
 
     def _log_loss_split(self, metrics: Dict[str, Any], epoch_num: int) -> None:
         """First-batch loss-split scalars (reference
@@ -194,6 +207,11 @@ class BaseTrainer(abc.ABC):
                 mean_accuracy_val,
                 dt,
             )
+            # per-epoch numerics guard (the reference NaN-sweeps weights
+            # every forward in Python; one device-side check per epoch)
+            from arvae_tpu.utils.profiling import assert_tree_finite
+
+            assert_tree_finite(self.state.params, "model parameters")
             ckpt.save(self.state)
 
     def eval_model(self, data_loader, epoch_num: int = 0):
