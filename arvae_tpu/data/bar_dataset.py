@@ -84,7 +84,9 @@ class BarDataset:
         time_sig_den: int = 4,
         dataset_type: str = "train",
         is_short: bool = False,
+        raw_datapath: Optional[str] = None,
     ):
+        del raw_datapath  # consumed by corpus-backed subclasses
         self.pitch_range = [55, 84]
         self.dataset_type = dataset_type
         self.is_short = is_short
@@ -106,9 +108,16 @@ class BarDataset:
     # -- vocab persistence (reference bar_dataset.py:47-54, 579-608) -------
 
     @property
+    def vocab_name(self) -> str:
+        """Vocabulary identity: one vocab per corpus/time-signature (all
+        n-bar variants of a corpus share note names)."""
+        style = getattr(self, "style", "bar")
+        return f"{self.time_sig_str}_{style}_"
+
+    @property
     def dict_path(self) -> str:
         return os.path.join(
-            self.dataset_dir_path, self.class_name + "index_dicts.txt"
+            self.dataset_dir_path, self.vocab_name + "index_dicts.txt"
         )
 
     def update_index_dicts(self) -> None:
@@ -348,34 +357,118 @@ def _tune_token_names(tune: np.ndarray, shift: int = 0) -> List[str]:
     return names
 
 
+def score_to_tick_codes(score: Score, beat_subdivisions: int = 6
+                        ) -> Optional[np.ndarray]:
+    """Score → per-tick code array: ≥0 MIDI onset, -1 slur continuation,
+    -2 rest onset (the internal 'tune' representation)."""
+    length = int(round(score.highest_time * beat_subdivisions))
+    if length == 0:
+        return None
+    codes = np.full((length,), -1, dtype=np.int64)
+    tick_starts = np.cumsum([0.0] + [float(d) for d in TICK_DURATIONS])
+    for pitch, start, _ in score.notes:
+        beat, frac = divmod(start, 1.0)
+        tick_in_beat = int(np.argmin(np.abs(tick_starts[:-1] - frac)))
+        tick = int(beat) * beat_subdivisions + tick_in_beat
+        if tick >= length:
+            continue
+        codes[tick] = -2 if pitch < 0 else int(pitch)
+    return codes
+
+
 class FolkBarDataset(BarDataset):
-    """Single-measure folk dataset (reference bar_dataset.py:732-931)."""
+    """Single-measure folk dataset (reference bar_dataset.py:732-931).
+
+    Corpus source: if ``folk_raw_data/`` holds .abc files they are
+    ingested with the native ABC parser (validity pipeline identical to
+    the reference's, file list cached as ``<ts>valid_filelist.txt``);
+    otherwise the deterministic synthetic corpus is generated.
+    """
 
     style = "folk"
     n_tunes_full = 150
     n_tunes_short = 20
 
     def __init__(self, time_sig_num=4, time_sig_den=4, dataset_type="train",
-                 is_short=False):
+                 is_short=False, raw_datapath: Optional[str] = None):
         super().__init__(time_sig_num, time_sig_den, dataset_type, is_short)
         self.class_name = f"{self.time_sig_str}_{type(self).__name__}_"
+        self.raw_datapath = raw_datapath or os.path.join(
+            os.getcwd(), "folk_raw_data"
+        )
+        self.max_num_files = 20 if is_short else 25000
         self._tunes: Optional[List[np.ndarray]] = None
         self._init_vocab()
 
     # -- corpus ---------------------------------------------------------------
 
+    def _abc_files(self) -> List[str]:
+        if self.style != "folk" or not os.path.isdir(self.raw_datapath):
+            return []
+        return sorted(
+            os.path.join(self.raw_datapath, f)
+            for f in os.listdir(self.raw_datapath)
+            if f.endswith(".abc")
+        )
+
+    def _valid_abc_files(self) -> List[str]:
+        """Validated file list, cached like the reference
+        (bar_dataset.py:761-777)."""
+        from arvae_tpu.data.abc_parser import is_valid_folk_tune
+
+        os.makedirs(self.dataset_dir_path, exist_ok=True)
+        cache = os.path.join(
+            self.dataset_dir_path, self.time_sig_str + "valid_filelist.txt"
+        )
+        if os.path.exists(cache):
+            with open(cache) as f:
+                return [
+                    os.path.join(self.raw_datapath, line.rstrip("\n"))
+                    for line in f if line.strip()
+                ]
+        valid = []
+        for idx, path in enumerate(self._abc_files()):
+            if idx >= self.max_num_files:
+                break
+            if is_valid_folk_tune(path, (self.time_sig_num,
+                                         self.time_sig_den)):
+                valid.append(path)
+        with open(cache, "w") as f:
+            for p in valid:
+                f.write(os.path.basename(p) + "\n")
+        return valid
+
     def _corpus_tunes(self) -> List[np.ndarray]:
-        """All tunes of the split (synthetic; see module docstring)."""
+        """All tunes of the split, as per-tick code arrays."""
         if self._tunes is not None:
             return self._tunes
-        n = self.n_tunes_short if self.is_short else self.n_tunes_full
-        rng = np.random.RandomState(1234 if self.style == "folk" else 4321)
-        tunes = [
-            generate_synthetic_tune(
-                rng, num_measures=int(rng.randint(8, 17)), style=self.style
-            )
-            for _ in range(n)
-        ]
+        abc_files = self._abc_files()
+        if abc_files:
+            from arvae_tpu.data.abc_parser import parse_abc_file
+
+            files = self._valid_abc_files()
+            order = np.random.RandomState(0).permutation(len(files))
+            files = [files[i] for i in order]
+            tunes = []
+            for p in files:
+                try:
+                    _, score = parse_abc_file(p)
+                except Exception:
+                    continue
+                codes = score_to_tick_codes(score, self.beat_subdivisions)
+                if codes is not None:
+                    tunes.append(codes)
+            n = len(tunes)
+        else:
+            n = self.n_tunes_short if self.is_short else self.n_tunes_full
+            rng = np.random.RandomState(1234 if self.style == "folk" else 4321)
+            tunes = [
+                generate_synthetic_tune(
+                    rng, num_measures=int(rng.randint(8, 17)),
+                    style=self.style,
+                )
+                for _ in range(n)
+            ]
         n_train = int(0.9 * n)
         if self.dataset_type == "train":
             tunes = tunes[:n_train]
@@ -463,9 +556,11 @@ class FolkNBarDataset(FolkBarDataset):
     padding (reference bar_dataset.py:933-1024)."""
 
     def __init__(self, time_sig_num=4, time_sig_den=4, dataset_type="train",
-                 is_short=False, num_bars=16):
+                 is_short=False, num_bars=16,
+                 raw_datapath: Optional[str] = None):
         self.n_bars = num_bars  # needed by class_name before super().__init__
-        super().__init__(time_sig_num, time_sig_den, dataset_type, is_short)
+        super().__init__(time_sig_num, time_sig_den, dataset_type, is_short,
+                         raw_datapath=raw_datapath)
         self.class_name = (
             f"{self.time_sig_str}_{type(self).__name__}_{self.n_bars}_"
         )
