@@ -573,9 +573,13 @@ class ImageVAETrainer(BaseTrainer):
     # -- per-epoch eval hook (tensorboard images/metrics) -----------------------
 
     def eval_model(self, data_loader, epoch_num: int = 0):
+        """Per-epoch tensorboard evaluation: interpretability scalars,
+        reconstruction grid, attribute-distribution scatter and a
+        latent-traversal grid (reference image_vae_trainer.py:219-259)."""
         if self.writer is None:
             return None
         from arvae_tpu.eval import compute_interpretability_metric
+        from arvae_tpu.utils.plotting import make_grid
 
         latent_codes, attributes, attr_list = self.compute_representations(
             data_loader, num_batches=20
@@ -589,4 +593,48 @@ class ImageVAETrainer(BaseTrainer):
                 interp_metrics[attr][1],
                 epoch_num,
             )
+
+        # reconstruction comparison on the first val batch
+        state = self.ensure_state()
+        fwd = self._forward_fn()
+        first = next(iter(data_loader))
+        inputs, _ = self.process_batch(first)
+        out = fwd(state.params, jnp.asarray(inputs[:16]),
+                  jax.random.fold_in(self._base_key, 8_000_000 + epoch_num))
+        recons = np.asarray(jax.nn.sigmoid(out.logits))
+        comparison = np.concatenate([inputs[:16], recons[:16]], axis=0)
+        self.writer.add_image(
+            "reconstruction",
+            make_grid(comparison, nrow=min(16, len(inputs)), pad_value=1.0),
+            epoch_num,
+        )
+
+        # attribute scatter + traversal grid (reference :234-259)
+        if len(self.hparams.reg_dim) == 0:
+            attr_str = "slant" if self.dataset_type == "mnist" else "shape"
+            dim1, dim2 = 0, 1
+        else:
+            attr_str = self.reverse_attr_dict[self.hparams.reg_dim[0]]
+            dim1 = self.hparams.reg_dim[0]
+            dim2 = (
+                self.hparams.reg_dim[1]
+                if len(self.hparams.reg_dim) > 1 else 0
+            )
+        from arvae_tpu.utils.plotting import plot_dim
+
+        # (the reference indexes the reduced attribute matrix with
+        # full-dict indices — image_vae_trainer.py:370-379 — an
+        # off-by-one; the column is located by name here)
+        col = attr_list.index(attr_str) if attr_str in attr_list else 0
+        img = plot_dim(
+            latent_codes, attributes[:, col],
+            os.path.join(self.get_save_dir(self.run_dir),
+                         f"data_dist_{attr_str}.png"),
+            dim1=dim1, dim2=dim2, xlim=4.0, ylim=4.0,
+        )
+        self.writer.add_image(
+            "attribute_distribution", np.transpose(img, (2, 0, 1)), epoch_num
+        )
+        interp = self.compute_latent_interpolations(latent_codes[:1], dim1)
+        self.writer.add_image("interpolations", interp, epoch_num)
         return {"interpretability": interp_metrics}
