@@ -21,8 +21,8 @@ import time
 import numpy as np
 
 BATCH = 128
-WARMUP = 5
-ITERS = 50
+WARMUP = 20  # first iterations absorb compile + device warmup
+ITERS = 100
 
 
 def measure_ours() -> float:
