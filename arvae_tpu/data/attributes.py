@@ -20,7 +20,7 @@ Semantics parity notes:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,11 +28,8 @@ import numpy as np
 
 from arvae_tpu.data.music_theory import (
     BEAT_STRENGTH_WEIGHTS,
-    END_SYMBOL,
-    REST_SYMBOL,
     RHY_COMPLEXITY_COEFFS,
     SLUR_SYMBOL,
-    START_SYMBOL,
     note_name_to_midi,
 )
 

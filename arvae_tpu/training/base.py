@@ -28,7 +28,7 @@ from flax import struct
 
 from arvae_tpu.core.config import TrainerHParams, run_dir
 from arvae_tpu.core.checkpoint import Checkpointer
-from arvae_tpu.parallel import MeshContext, create_mesh, shard_batch
+from arvae_tpu.parallel import MeshContext, create_mesh
 
 
 class TrainState(struct.PyTreeNode):

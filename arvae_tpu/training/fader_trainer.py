@@ -16,7 +16,7 @@ preserved for API parity.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,11 +24,10 @@ import numpy as np
 import optax
 from flax import struct
 
-from arvae_tpu.core.config import TrainerHParams, trainer_config_string
+from arvae_tpu.core.config import trainer_config_string
 from arvae_tpu.models.image_fader import ImageFaderDiscriminator
 from arvae_tpu.ops.losses import pixel_accuracy, reconstruction_loss
 from arvae_tpu.training.image_trainer import (
-    DSPRITES_REG_TYPE,
     MNIST_NORMALIZATION_FACTORS,
     ImageVAETrainer,
 )

@@ -17,8 +17,6 @@ the bugs: the perturbation is applied to the ``reg_dim`` column.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

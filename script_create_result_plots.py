@@ -10,7 +10,6 @@ import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
-import numpy as np
 import pandas as pd
 
 from arvae_tpu.data.bar_dataset import ChoraleNBarDataset, FolkNBarDataset

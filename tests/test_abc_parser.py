@@ -1,7 +1,6 @@
 """ABC parser tests on hand-written fixture tunes."""
 
 import numpy as np
-import pytest
 
 from arvae_tpu.data.abc_parser import (
     is_valid_folk_tune,

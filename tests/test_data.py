@@ -2,7 +2,6 @@
 morphometry."""
 
 import numpy as np
-import pytest
 
 from arvae_tpu.data.dsprites import DspritesDataset, generate_dsprites
 from arvae_tpu.data.loaders import ArrayDataset, EpochLoader

@@ -9,11 +9,10 @@ import pytest
 
 from arvae_tpu.data.bar_dataset import (
     ChoraleNBarDataset,
-    FolkBarDataset,
     FolkNBarDataset,
     Score,
 )
-from arvae_tpu.data.music_theory import SLUR_SYMBOL, START_SYMBOL
+from arvae_tpu.data.music_theory import START_SYMBOL
 from arvae_tpu.models.measure_vae import MeasureVAE
 
 

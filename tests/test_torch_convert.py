@@ -4,7 +4,6 @@ modules and converted Flax models must produce identical outputs."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 from torch import nn as tnn
 
