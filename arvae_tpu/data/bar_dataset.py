@@ -306,6 +306,25 @@ class BarDataset:
             mk(slice(i1, n), False),
         )
 
+    def device_splits(self, ctx, split=(0.70, 0.20)):
+        """Device-resident (train, val) token splits (per-measure rows
+        reshaped from n-bar windows; see arvae_tpu.data.device_data)."""
+        from arvae_tpu.data.device_data import DeviceSplit
+        from arvae_tpu.data.music_theory import TICKS_PER_MEASURE
+
+        score, _ = self.get_dataset()
+        n = len(score)
+        a, b = split
+        i0, i1 = int(a * n), int((a + b) * n)
+
+        def mk(sl):
+            rows = np.asarray(score[sl], np.int32)
+            rows = rows.reshape(-1, TICKS_PER_MEASURE)
+            return DeviceSplit(rows, rows, (TICKS_PER_MEASURE,), "tokens",
+                               ctx)
+
+        return mk(slice(0, i0)), mk(slice(i0, i1))
+
 
 # ---------------------------------------------------------------------------
 # Synthetic corpus generation

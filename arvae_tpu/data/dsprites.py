@@ -227,6 +227,26 @@ class DspritesDataset:
             make(slice(i1, n), False),
         )
 
+    def device_splits(self, ctx, split=(0.70, 0.20)):
+        """Device-resident (train, val) splits for the HBM input path:
+        bit-packed rows live on device, batches unpack inside jit
+        (see arvae_tpu.data.device_data)."""
+        from arvae_tpu.data.device_data import DeviceSplit
+
+        self.load_dataset()
+        n = len(self.packed)
+        a, b = split
+        i0, i1 = int(a * n), int((a + b) * n)
+        order = self._order
+        mk = lambda sl: DeviceSplit(
+            self.packed[order[sl]],
+            self.latents[order[sl]].astype(np.float32),
+            (1, _IMG, _IMG),
+            "packed",
+            ctx,
+        )
+        return mk(slice(0, i0)), mk(slice(i0, i1))
+
 
 class _UnpackingLoader:
     """Wraps an EpochLoader of packed bits, yielding float32 images."""

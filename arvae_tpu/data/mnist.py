@@ -112,6 +112,26 @@ class MorphoMnistDataset(MnistDataset):
 
     def __init__(self, root: Optional[str] = None, seed: int = 0):
         super().__init__(root=root, seed=seed)
-        # batches: (image, digit_label, morpho_labels[6])
+        # batches: (image, digit_label, morpho_labels[7])
         self.train_arrays = self._full_train
         self.val_arrays = self._full_test
+
+    def device_splits(self, ctx, split=(0.70, 0.20)):
+        """Device-resident (train, val) splits: uint8 pixel rows +
+        morpho labels on device (see arvae_tpu.data.device_data).
+        The fixed file-based train/test split stands in for `split`,
+        mirroring data_loaders."""
+        from arvae_tpu.data.device_data import DeviceSplit
+
+        del split
+
+        def mk(arrays):
+            images, _, morpho = arrays
+            rows = (np.asarray(images)[:, 0] * 255).astype(np.uint8)
+            rows = rows.reshape(len(rows), -1)
+            return DeviceSplit(
+                rows, np.asarray(morpho, np.float32), (1, 28, 28), "bytes",
+                ctx,
+            )
+
+        return mk(self._full_train), mk(self._full_test)

@@ -53,6 +53,9 @@ class FaderTrainState(struct.PyTreeNode):
 
 
 class ImageFaderTrainer(ImageVAETrainer):
+    # two-param-set adversarial state; uses the host loader path
+    supports_device_data = False
+
     def __init__(
         self,
         dataset,

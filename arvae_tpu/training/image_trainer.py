@@ -177,31 +177,29 @@ class ImageVAETrainer(BaseTrainer):
 
     # -- steps --------------------------------------------------------------------
 
+    def _train_step_core(self, state: TrainState, batch, key):
+        grad_fn = jax.value_and_grad(
+            lambda p: self._loss_fn(p, batch, key, train=True), has_aux=True
+        )
+        (_, metrics), grads = grad_fn(state.params)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                   state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state,
+                       step=state.step + 1),
+            metrics,
+        )
+
+    def _eval_step_core(self, params, batch, key):
+        _, metrics = self._loss_fn(params, batch, key, train=False)
+        return metrics
+
     def make_train_step(self):
-        optimizer = self.optimizer
-
-        def train_step(state: TrainState, batch, key):
-            grad_fn = jax.value_and_grad(
-                lambda p: self._loss_fn(p, batch, key, train=True), has_aux=True
-            )
-            (_, metrics), grads = grad_fn(state.params)
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-            params = optax.apply_updates(state.params, updates)
-            return (
-                TrainState(params=params, opt_state=opt_state,
-                           step=state.step + 1),
-                metrics,
-            )
-
-        return jax.jit(train_step, donate_argnums=(0,))
+        return jax.jit(self._train_step_core, donate_argnums=(0,))
 
     def make_eval_step(self):
-        def eval_step(params, batch, key):
-            _, metrics = self._loss_fn(params, batch, key, train=False)
-            return metrics
-
-        return jax.jit(eval_step)
+        return jax.jit(self._eval_step_core)
 
     # -- forward helpers -------------------------------------------------------------
 

@@ -1,19 +1,23 @@
-"""Benchmark: AR-VAE training steps/sec on the flagship recipe.
+"""Benchmark: AR-VAE end-to-end training throughput on the flagship
+recipe.
 
-Measures the full dSprites AR-VAE training step (recon + KLD + 5-dim
-pairwise AR reg, batch 128 — the reference training recipe from
-``train_image_vae.py:15-19`` with the paper's AR-VAE hyperparameters)
-in steps/sec on whatever backend JAX selects (TPU under the driver).
+Measures REAL training-loop steps/sec — the device-resident input path
+(dataset in HBM, batch gather + bit-unpack inside jit, 32 steps per
+dispatch via lax.scan; see arvae_tpu/data/device_data.py) driving the
+full dSprites AR-VAE objective (recon + KLD + 5-dim pairwise AR reg,
+batch 128, the reference recipe from ``train_image_vae.py:15-19`` with
+the paper's AR-VAE hyperparameters). The data is a synthetic packed
+split with the full-scale train-split shape (516,096 × 64×64) so the
+bench needs no dataset files.
 
 Baseline: the same model+objective in PyTorch on this machine's CPU
 (the reference is torch-CPU/single-GPU; this host has no GPU), measured
-by ``scripts/measure_baseline_torch.py`` and cached in
-``BASELINE_MEASURED.json``. vs_baseline = ours / reference.
+by ``scripts/measure_baseline_torch.py`` → BASELINE_MEASURED.json.
+vs_baseline = ours / reference.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
-import functools
 import json
 import os
 import time
@@ -21,8 +25,9 @@ import time
 import numpy as np
 
 BATCH = 128
-WARMUP = 20  # first iterations absorb compile + device warmup
-ITERS = 100
+N_ROWS = 516_096  # full-scale dSprites train split
+WARMUP_STEPS = 256
+MEASURE_STEPS = 2048
 
 
 def measure_ours() -> float:
@@ -30,42 +35,48 @@ def measure_ours() -> float:
     import jax.numpy as jnp
     import optax
 
+    from arvae_tpu.data.device_data import DeviceEpochRunner, DeviceSplit
     from arvae_tpu.models import DspritesVAE
-    from arvae_tpu.ops.losses import kld_loss, reconstruction_loss, total_reg_loss
-    from arvae_tpu.parallel import create_mesh, shard_batch
+    from arvae_tpu.ops.losses import (
+        kld_loss,
+        pixel_accuracy,
+        reconstruction_loss,
+        total_reg_loss,
+    )
+    from arvae_tpu.parallel import create_mesh
 
     ctx = create_mesh()
     model = DspritesVAE()
     reg_pairs = tuple((d, d) for d in (1, 2, 3, 4, 5))
-    # XLA fuses the pairwise reg block as fast as the Pallas kernel at
-    # this size (measured: both launch-bound, ops/losses.py); the env
-    # toggle keeps the kernel benchmarkable.
-    use_pallas = bool(os.environ.get("ARVAE_BENCH_PALLAS"))
-
-    def loss_fn(params, images, labels, key):
-        k_drop, k_sample = jax.random.split(key)
-        out = model.apply(
-            {"params": params}, images, train=True,
-            rngs={"dropout": k_drop, "sample": k_sample},
-        )
-        loss = reconstruction_loss(out.logits, images, "bernoulli")
-        loss += kld_loss(out.z_mean, out.z_log_std, beta=1.0, c=0.0)
-        loss += total_reg_loss(out.z_tilde, labels, reg_pairs, 10.0, 1.0,
-                               use_pallas=use_pallas)
-        return loss
-
     optimizer = optax.adam(1e-4)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, images, labels, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels, key)
+    rng = np.random.RandomState(0)
+    packed = rng.randint(0, 256, (N_ROWS, 512)).astype(np.uint8)
+    labels = rng.rand(N_ROWS, 6).astype(np.float32)
+    split = DeviceSplit(packed, labels, (1, 64, 64), "packed", ctx)
+
+    def loss_fn(p, batch, key):
+        images, labs = batch
+        k1, k2 = jax.random.split(key)
+        out = model.apply({"params": p}, images, train=True,
+                          rngs={"dropout": k1, "sample": k2})
+        loss = reconstruction_loss(out.logits, images, "bernoulli")
+        loss += kld_loss(out.z_mean, out.z_log_std, beta=1.0, c=0.0)
+        loss += total_reg_loss(out.z_tilde, labs, reg_pairs, 10.0, 1.0)
+        return loss, pixel_accuracy(jax.nn.sigmoid(out.logits), images)
+
+    def train_step_core(state, batch, key):
+        params, opt_state = state
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return (params, opt_state), {"loss": loss, "accuracy": acc}
 
-    rng = np.random.RandomState(0)
-    images = (rng.rand(BATCH, 1, 64, 64) > 0.7).astype(np.float32)
-    labels = rng.rand(BATCH, 6).astype(np.float32)
+    def eval_step_core(params, batch, key):
+        loss, acc = loss_fn(params, batch, key)
+        return {"loss": loss, "accuracy": acc}
 
     params = model.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1),
@@ -74,20 +85,36 @@ def measure_ours() -> float:
     )["params"]
     params = jax.device_put(params, ctx.replicated)
     opt_state = jax.device_put(optimizer.init(params), ctx.replicated)
-    imgs, labs = shard_batch(ctx, (images, labels))
+    state = (params, opt_state)
 
-    key = jax.random.key(0)
-    for i in range(WARMUP):
-        params, opt_state, loss = train_step(params, opt_state, imgs, labs,
-                                             jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    runner = DeviceEpochRunner(
+        split, split, BATCH, train_step_core, eval_step_core,
+        jax.random.key(0),
+    )
+    K = runner.steps_per_call
+    chunk = runner._train_chunk(K)
+    perm = jax.random.permutation(jax.random.key(1), split.n).astype(jnp.int32)
+
+    # warmup (compile + device warmup); float() materializes — on this
+    # tunneled transport block_until_ready returns before the queue
+    # drains, so value-pull is the only reliable sync
+    i = 0
+    while i < WARMUP_STEPS:
+        state, sums, _ = chunk(state, split.images, split.labels, perm, i,
+                               jax.random.fold_in(jax.random.key(2), i))
+        i += K
+    float(sums["loss"])
+
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        params, opt_state, loss = train_step(params, opt_state, imgs, labs,
-                                             jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(loss)
+    n = 0
+    while n < MEASURE_STEPS:
+        state, sums, _ = chunk(state, split.images, split.labels, perm,
+                               WARMUP_STEPS + n,
+                               jax.random.fold_in(jax.random.key(3), n))
+        n += K
+    float(sums["loss"])  # sync
     dt = time.perf_counter() - t0
-    return ITERS / dt
+    return n / dt
 
 
 def baseline_steps_per_sec() -> float:
