@@ -325,6 +325,17 @@ class BarDataset:
 
         return mk(slice(0, i0)), mk(slice(i0, i1))
 
+    def device_eval_split(self, ctx, split=(0.85, 0.10)):
+        """Device-resident EVAL split (data_loaders()[2] semantics)."""
+        from arvae_tpu.data.device_data import DeviceSplit
+        from arvae_tpu.data.music_theory import TICKS_PER_MEASURE
+
+        score, _ = self.get_dataset()
+        n = len(score)
+        i1 = int(sum(split) * n)
+        rows = np.asarray(score[i1:], np.int32).reshape(-1, TICKS_PER_MEASURE)
+        return DeviceSplit(rows, rows, (TICKS_PER_MEASURE,), "tokens", ctx)
+
 
 # ---------------------------------------------------------------------------
 # Synthetic corpus generation

@@ -247,6 +247,20 @@ class DspritesDataset:
         )
         return mk(slice(0, i0)), mk(slice(i0, i1))
 
+    def device_eval_split(self, ctx, split=(0.80, 0.15)):
+        """Device-resident EVAL split (the reference harvests latents
+        from data_loaders()[2], split (0.80, 0.15) — dsprites_dataset.py:55)."""
+        from arvae_tpu.data.device_data import DeviceSplit
+
+        self.load_dataset()
+        n = len(self.packed)
+        i1 = int(sum(split) * n)
+        sl = self._order[slice(i1, n)]
+        return DeviceSplit(
+            self.packed[sl], self.latents[sl].astype(np.float32),
+            (1, _IMG, _IMG), "packed", ctx,
+        )
+
 
 class _UnpackingLoader:
     """Wraps an EpochLoader of packed bits, yielding float32 images."""

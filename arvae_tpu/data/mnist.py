@@ -135,3 +135,8 @@ class MorphoMnistDataset(MnistDataset):
             )
 
         return mk(self._full_train), mk(self._full_test)
+
+    def device_eval_split(self, ctx, split=None):
+        """Eval split == the test files (mirrors data_loaders)."""
+        del split
+        return self.device_splits(ctx)[1]

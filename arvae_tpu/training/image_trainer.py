@@ -239,21 +239,67 @@ class ImageVAETrainer(BaseTrainer):
         attr_idx = [self.attr_dict[a] for a in attr_list]
         return attributes[:, attr_idx], attr_list
 
-    def compute_representations(self, data_loader, num_batches: int = 200):
-        """Sampled-z latent harvest (reference image_vae_trainer.py:274-287)."""
+    def _device_eval_split(self):
+        if os.environ.get("ARVAE_HOST_LOADER"):
+            return None
+        make = getattr(self.dataset, "device_eval_split", None)
+        if make is None:
+            return None
+        if not hasattr(self, "_dev_eval_split"):
+            self._dev_eval_split = make(self.mesh)
+        return self._dev_eval_split
+
+    def _device_harvest(self, batch_size: int, num_batches: int):
+        """Latent harvest as ONE jitted scan over the device-resident
+        eval split (the host path costs a device_put round trip per
+        batch on this transport)."""
+        sp = self._device_eval_split()
+        batch_size = min(batch_size, max(sp.n, 1))
+        steps = min(sp.num_batches(batch_size), num_batches + 1)
         state = self.ensure_state()
-        fwd = self._forward_fn()
-        latent_codes, attributes = [], []
-        for sample_id, batch in enumerate(data_loader):
-            inputs, labels = self.process_batch(batch)
-            key = jax.random.fold_in(self._base_key, 7_000_000 + sample_id)
-            out = fwd(state.params, jnp.asarray(inputs), key)
-            latent_codes.append(np.asarray(out.z_tilde))
-            attributes.append(labels)
-            if sample_id == num_batches:
-                break
-        latent_codes = np.concatenate(latent_codes, 0)
-        attributes = np.concatenate(attributes, 0)
+
+        def harvest(params, images, labels, key):
+            def body(_, i):
+                idx = jnp.arange(batch_size, dtype=jnp.int32) + i * batch_size
+                imgs, labs = sp.gather_batch(images, labels, idx)
+                out = self.model.apply(
+                    {"params": params}, imgs, train=False,
+                    rngs={"sample": jax.random.fold_in(key, i)},
+                )
+                return None, (out.z_tilde, labs)
+
+            _, (z, l) = jax.lax.scan(body, None, jnp.arange(steps))
+            return (z.reshape(-1, z.shape[-1]), l.reshape(-1, l.shape[-1]))
+
+        z, labels = jax.jit(harvest)(
+            state.params, sp.images, sp.labels,
+            jax.random.fold_in(self._base_key, 7_000_000),
+        )
+        return np.asarray(z), np.asarray(labels)
+
+    def compute_representations(self, data_loader, num_batches: int = 200,
+                                batch_size: int = 128,
+                                use_device: bool = True):
+        """Sampled-z latent harvest (reference image_vae_trainer.py:274-287)."""
+        if use_device and self._device_eval_split() is not None:
+            latent_codes, attributes = self._device_harvest(
+                batch_size, num_batches
+            )
+        else:
+            state = self.ensure_state()
+            fwd = self._forward_fn()
+            latent_codes, attributes = [], []
+            for sample_id, batch in enumerate(data_loader):
+                inputs, labels = self.process_batch(batch)
+                key = jax.random.fold_in(self._base_key,
+                                         7_000_000 + sample_id)
+                out = fwd(state.params, jnp.asarray(inputs), key)
+                latent_codes.append(np.asarray(out.z_tilde))
+                attributes.append(labels)
+                if sample_id == num_batches:
+                    break
+            latent_codes = np.concatenate(latent_codes, 0)
+            attributes = np.concatenate(attributes, 0)
         attributes, attr_list = self._extract_relevant_attributes(attributes)
         return latent_codes, attributes, attr_list
 
@@ -300,29 +346,59 @@ class ImageVAETrainer(BaseTrainer):
     def test_model(self, batch_size: int = 128) -> Dict[str, float]:
         """Recon loss/acc on the eval split (reference
         image_vae_trainer.py:582-621)."""
-        _, _, gen_test = self.dataset.data_loaders(batch_size)
-        state = self.ensure_state()
-        if not hasattr(self, "_eval_step_fn") or self._eval_step_fn is None:
-            self._eval_step_fn = self.make_eval_step()
-        total_loss, total_acc, n = 0.0, 0.0, 0
-        fwd = self._forward_fn()
         from arvae_tpu.ops.losses import pixel_accuracy as pix_acc
         from arvae_tpu.ops.losses import reconstruction_loss as rec_loss
 
-        for sample_id, batch in enumerate(gen_test):
-            inputs, _ = self.process_batch(batch)
-            key = jax.random.fold_in(self._base_key, 9_000_000 + sample_id)
-            out = fwd(state.params, jnp.asarray(inputs), key)
-            loss = rec_loss(out.logits, jnp.asarray(inputs), self.hparams.dec_dist)
-            acc = pix_acc(jax.nn.sigmoid(out.logits), jnp.asarray(inputs))
-            total_loss += float(loss)
-            total_acc += float(acc)
-            n += 1
-        n = max(n, 1)
+        state = self.ensure_state()
+        sp = self._device_eval_split()
+        if sp is not None:
+            steps = max(sp.num_batches(batch_size), 1)
+
+            def sweep(params, images, labels, key):
+                def body(_, i):
+                    idx = (jnp.arange(batch_size, dtype=jnp.int32)
+                           + i * batch_size)
+                    imgs, _ = sp.gather_batch(images, labels, idx)
+                    out = self.model.apply(
+                        {"params": params}, imgs, train=False,
+                        rngs={"sample": jax.random.fold_in(key, i)},
+                    )
+                    loss = rec_loss(out.logits, imgs, self.hparams.dec_dist)
+                    acc = pix_acc(jax.nn.sigmoid(out.logits), imgs)
+                    return None, (loss, acc)
+
+                _, (losses, accs) = jax.lax.scan(body, None,
+                                                 jnp.arange(steps))
+                return jnp.mean(losses), jnp.mean(accs)
+
+            loss, acc = jax.jit(sweep)(
+                state.params, sp.images, sp.labels,
+                jax.random.fold_in(self._base_key, 9_000_000),
+            )
+            mean_loss, mean_acc = float(loss), float(acc)
+        else:
+            _, _, gen_test = self.dataset.data_loaders(batch_size)
+            fwd = self._forward_fn()
+            total_loss, total_acc, n = 0.0, 0.0, 0
+            for sample_id, batch in enumerate(gen_test):
+                inputs, _ = self.process_batch(batch)
+                key = jax.random.fold_in(self._base_key,
+                                         9_000_000 + sample_id)
+                out = fwd(state.params, jnp.asarray(inputs), key)
+                total_loss += float(
+                    rec_loss(out.logits, jnp.asarray(inputs),
+                             self.hparams.dec_dist)
+                )
+                total_acc += float(
+                    pix_acc(jax.nn.sigmoid(out.logits), jnp.asarray(inputs))
+                )
+                n += 1
+            n = max(n, 1)
+            mean_loss, mean_acc = total_loss / n, total_acc / n
         print("Test Epoch:")
-        print("\tTest Loss: ", total_loss / n, "\n\tTest Accuracy: ",
-              total_acc / n * 100)
-        return {"test_loss": total_loss / n, "test_acc": total_acc / n}
+        print("\tTest Loss: ", mean_loss, "\n\tTest Accuracy: ",
+              mean_acc * 100)
+        return {"test_loss": mean_loss, "test_acc": mean_acc}
 
     def get_resnet_accuracy(self) -> Optional[Dict]:
         """Digit-identity preservation judged by an external ResNet
@@ -579,8 +655,9 @@ class ImageVAETrainer(BaseTrainer):
         from arvae_tpu.eval import compute_interpretability_metric
         from arvae_tpu.utils.plotting import make_grid
 
+        # per-epoch hook reflects the *validation* loader it is given
         latent_codes, attributes, attr_list = self.compute_representations(
-            data_loader, num_batches=20
+            data_loader, num_batches=20, use_device=False
         )
         interp_metrics = compute_interpretability_metric(
             latent_codes, attributes, attr_list

@@ -206,20 +206,62 @@ class MeasureVAETrainer(BaseTrainer):
 
     # -- evaluation ---------------------------------------------------------------
 
-    def compute_representations(self, data_loader, num_batches: int = 200):
+    def _device_eval_split(self):
+        if os.environ.get("ARVAE_HOST_LOADER"):
+            return None
+        make = getattr(self.dataset, "device_eval_split", None)
+        if make is None:
+            return None
+        if not hasattr(self, "_dev_eval_split"):
+            self._dev_eval_split = make(self.mesh)
+        return self._dev_eval_split
+
+    def compute_representations(self, data_loader, num_batches: int = 200,
+                                batch_size: int = 256,
+                                use_device: bool = True):
         state = self.ensure_state()
-        fwd = self._forward_fn()
-        latent_codes, attributes = [], []
-        for batch_id, batch in enumerate(data_loader):
-            score, _ = self.process_batch(batch)
-            key = jax.random.fold_in(self._base_key, 7_000_000 + batch_id)
-            out = fwd(state.params, jnp.asarray(score), key)
-            latent_codes.append(np.asarray(out.z_tilde))
-            attributes.append(np.asarray(self.compute_attribute_labels(score)))
-            if batch_id == num_batches:
-                break
-        latent_codes = np.concatenate(latent_codes, 0)
-        attributes = np.concatenate(attributes, 0)
+        sp = self._device_eval_split() if use_device else None
+        if sp is not None and sp.n > 0:
+            batch_size = min(batch_size, sp.n)
+            steps = min(sp.num_batches(batch_size), num_batches + 1)
+
+            def harvest(params, images, labels, key):
+                def body(_, i):
+                    idx = (jnp.arange(batch_size, dtype=jnp.int32)
+                           + i * batch_size)
+                    score, _ = sp.gather_batch(images, labels, idx)
+                    out = self.model.apply(
+                        {"params": params}, score, train=False,
+                        rng_key=jax.random.fold_in(key, i),
+                    )
+                    labs = self.attrs.compute_labels(score)
+                    return None, (out.z_tilde, labs)
+
+                _, (z, l) = jax.lax.scan(body, None, jnp.arange(steps))
+                return (z.reshape(-1, z.shape[-1]),
+                        l.reshape(-1, l.shape[-1]))
+
+            z, labels = jax.jit(harvest)(
+                state.params, sp.images, sp.labels,
+                jax.random.fold_in(self._base_key, 7_000_000),
+            )
+            latent_codes, attributes = np.asarray(z), np.asarray(labels)
+        else:
+            fwd = self._forward_fn()
+            latent_codes, attributes = [], []
+            for batch_id, batch in enumerate(data_loader):
+                score, _ = self.process_batch(batch)
+                key = jax.random.fold_in(self._base_key,
+                                         7_000_000 + batch_id)
+                out = fwd(state.params, jnp.asarray(score), key)
+                latent_codes.append(np.asarray(out.z_tilde))
+                attributes.append(
+                    np.asarray(self.compute_attribute_labels(score))
+                )
+                if batch_id == num_batches:
+                    break
+            latent_codes = np.concatenate(latent_codes, 0)
+            attributes = np.concatenate(attributes, 0)
         attr_list = list(self.attr_dict.keys())
         return latent_codes, attributes, attr_list
 
