@@ -98,6 +98,12 @@ def main(
         if len(reg_type) == 1 and reg_type[0] == "all":
             reg_dim = tuple(attr_dict.values())
         else:
+            unknown = [r for r in reg_type if r not in attr_dict]
+            if unknown:
+                raise click.BadParameter(
+                    f"unknown reg_type {unknown}; choose from "
+                    f"{sorted(attr_dict)} or 'all'"
+                )
             reg_dim = tuple(attr_dict[r] for r in reg_type)
     else:
         reg_dim = (0,)
