@@ -13,8 +13,11 @@ without skimage, which is unavailable here:
 - distance map: ``scipy.ndimage.distance_transform_edt``.
 
 Measured quantities (area, stroke length, mean thickness, slant via
-image moments, bounding-parallelogram width/height) follow the
-reference math exactly (``morpho.py:59-233``).
+image moments, bounding-parallelogram width/height) are capability
+parity with the reference (``morpho.py:59-233``) via an independent
+decomposition: moments through weighted mean/covariance of the pixel
+coordinate cloud, extent CDFs through one weighted histogram + cumsum
+(golden-locked in ``tests/test_moments_golden.py``).
 """
 
 from __future__ import annotations
@@ -143,24 +146,28 @@ class ImageMorphology:
 
 
 class ImageMoments:
-    """First/second-order image moments (reference morpho.py:105-175)."""
+    """Mass, centroid, and central covariance of a grayscale image.
+
+    Treats the image as a 2-D probability mass over pixel-center
+    coordinates (x = column index, y = row index) and derives the usual
+    shape statistics from the weighted mean and weighted covariance.
+    Capability parity with the reference's moments class
+    (``morpho.py:105-175``); computed here via ``np.average``/``np.cov``
+    over the flattened coordinate cloud rather than raw-moment sums.
+    """
 
     def __init__(self, img: np.ndarray):
-        img = np.asarray(img, dtype=float)
-        x = np.arange(img.shape[1])[None, :]
-        y = np.arange(img.shape[0])[:, None]
-        m00 = img.sum()
-        m10 = (x * img).sum() / m00
-        m01 = (y * img).sum() / m00
-        m20 = (x**2 * img).sum() / m00
-        m11 = (x * y * img).sum() / m00
-        m02 = (y**2 * img).sum() / m00
-        self.m00 = m00
-        self.m10 = m10
-        self.m01 = m01
-        self.u20 = m20 - m10**2
-        self.u11 = m11 - m10 * m01
-        self.u02 = m02 - m01**2
+        weights = np.asarray(img, dtype=float).ravel()
+        n_rows, n_cols = np.asarray(img).shape
+        grid_y, grid_x = np.mgrid[0:n_rows, 0:n_cols]
+        coords = np.stack([grid_x.ravel(), grid_y.ravel()])
+        self.m00 = float(weights.sum())
+        mean = np.average(coords, axis=1, weights=weights)
+        cov = np.cov(coords, aweights=weights, ddof=0)
+        self.m10, self.m01 = float(mean[0]), float(mean[1])
+        self.u20 = float(cov[0, 0])
+        self.u11 = float(cov[0, 1])
+        self.u02 = float(cov[1, 1])
 
     @property
     def centroid(self) -> Tuple[float, float]:
@@ -172,17 +179,22 @@ class ImageMoments:
 
     @property
     def axis_lengths(self) -> Tuple[float, float]:
-        delta = 0.5 * np.hypot(2.0 * self.u11, self.u20 - self.u02)
-        eig1 = 0.5 * (self.u20 + self.u02) + delta
-        eig2 = 0.5 * (self.u20 + self.u02) - delta
-        return np.sqrt(max(eig1, 0.0)), np.sqrt(max(eig2, 0.0))
+        """(major, minor) std-dev along the principal axes."""
+        eigs = np.linalg.eigvalsh(
+            np.array([[self.u20, self.u11], [self.u11, self.u02]])
+        )
+        minor, major = np.sqrt(np.clip(eigs, 0.0, None))
+        return float(major), float(minor)
 
     @property
     def angle(self) -> float:
-        return 0.5 * np.arctan2(2.0 * self.u11, self.u20 - self.u02)
+        """Orientation of the major principal axis (standard
+        second-moment formula)."""
+        return np.arctan2(2.0 * self.u11, self.u20 - self.u02) / 2.0
 
     @property
     def horizontal_shear(self) -> float:
+        """Regression slope of x on y: how far the shape leans per row."""
         return self.u11 / self.u02
 
     @property
@@ -190,43 +202,57 @@ class ImageMoments:
         return self.u11 / self.u20
 
 
-def _horz_cdf(img, shear, x, y, y_mid):
-    locs = np.arange(0, img.shape[1], step=1)
-    counts = np.zeros(len(locs))
-    for i, t in enumerate(locs):
-        counts[i] = ((x + 0.5 < t + shear * (y - y_mid)) * img).sum()
-    return locs, counts / img.sum()
+def _mass_cdf(values: np.ndarray, weights: np.ndarray, n_bins: int):
+    """``cdf[t] = (mass with value < t) / total`` for integer t in
+    [0, n_bins), via one weighted histogram + cumsum.
 
-
-def _vert_cdf(img, y):
-    counts = np.zeros(img.shape[0])
-    for t in range(img.shape[0]):
-        counts[t] = ((y < t) * img).sum()
-    return counts / img.sum()
+    A value v is first counted at the smallest integer t with v < t,
+    i.e. bin floor(v)+1; everything at or beyond n_bins never lands in
+    the returned range.
+    """
+    first_bin = np.clip(np.floor(values).astype(int) + 1, 0, n_bins)
+    per_bin = np.bincount(first_bin, weights=weights, minlength=n_bins + 1)
+    return np.cumsum(per_bin)[:n_bins] / weights.sum()
 
 
 def bounding_parallelogram(img, frac: float, moments: ImageMoments = None):
-    """Bounding parallelogram corners (reference morpho.py:193-233)."""
-    img = np.asarray(img, dtype=float)
-    height, width = img.shape
-    x = np.arange(width)[None, :]
-    y = np.arange(height)[:, None]
+    """Shear-aligned bounding parallelogram of an image's mass.
 
+    Trims ``frac`` of the total mass (split between the two sides of
+    each axis) for outlier robustness, measuring horizontal extent
+    along the shear direction so slanted strokes aren't overcounted.
+    Returns the four ``(x, y)`` corners clockwise from top-left —
+    capability parity with reference ``morpho.py:193-233``.
+    """
+    img = np.asarray(img, dtype=float)
+    n_rows, n_cols = img.shape
     if moments is None:
         moments = ImageMoments(img)
-    middle = moments.centroid[1]
+    y_mid = moments.centroid[1]
     shear = moments.horizontal_shear
 
-    hloc, hcdf = _horz_cdf(img, shear, x, y, middle)
-    vcdf = _vert_cdf(img, y)
+    rows = np.arange(n_rows, dtype=float)
+    cols = np.arange(n_cols, dtype=float)
+    weights = img.ravel()
+    # Pixel-center x, shifted back along the shear so columns compare on
+    # a common (un-slanted) axis.
+    sheared_x = (cols[None, :] + 0.5) - shear * (rows[:, None] - y_mid)
+    hcdf = _mass_cdf(sheared_x.ravel(), weights, n_cols)
+    vcdf = _mass_cdf(
+        np.broadcast_to(rows[:, None], img.shape).ravel(), weights, n_rows
+    )
 
-    frac /= 2  # two-sided
-    left, right = np.interp([frac, 1.0 - frac], hcdf, hloc)
-    top, bottom = np.interp([frac, 1.0 - frac], vcdf, np.arange(len(vcdf)))
+    q = frac / 2.0  # half the trimmed mass on each side
+    left, right = np.interp([q, 1.0 - q], hcdf, cols)
+    top, bottom = np.interp([q, 1.0 - q], vcdf, rows)
 
-    top_left = np.array([left + shear * (top - middle), top])
-    top_right = np.array([right + shear * (top - middle), top])
-    bottom_left = np.array([left + shear * (bottom - middle), bottom])
-    bottom_right = np.array([right + shear * (bottom - middle), bottom])
+    def _corner(x_edge, y_edge):
+        # Map the un-slanted edge position back onto the sheared image.
+        return np.array([x_edge + shear * (y_edge - y_mid), y_edge])
 
-    return top_left, top_right, bottom_right, bottom_left
+    return (
+        _corner(left, top),
+        _corner(right, top),
+        _corner(right, bottom),
+        _corner(left, bottom),
+    )
