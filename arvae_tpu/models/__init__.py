@@ -4,6 +4,14 @@ from arvae_tpu.models.image_fader import (
     DspritesFaderNetwork,
     ImageFaderDiscriminator,
 )
+from arvae_tpu.models.measure_vae import (
+    Encoder,
+    HierarchicalDecoder,
+    MeasureVAE,
+    MeasureVAEOutput,
+    SRDecoder,
+    SRDecoderNoInput,
+)
 
 __all__ = [
     "MnistVAE",
@@ -12,4 +20,10 @@ __all__ = [
     "MnistFaderNetwork",
     "DspritesFaderNetwork",
     "ImageFaderDiscriminator",
+    "Encoder",
+    "HierarchicalDecoder",
+    "MeasureVAE",
+    "MeasureVAEOutput",
+    "SRDecoder",
+    "SRDecoderNoInput",
 ]

@@ -129,6 +129,191 @@ class Encoder(nn.Module):
         return z_mean, z_log_std
 
 
+def _stacked_gru_step(gru_params, x, h, dropout_rate, dropout_rng, train):
+    """One time step through stacked GRU layers.
+
+    x: (B, I); h: (num_layers, B, H) → (top output (B, H), new h).
+    Inter-layer dropout only (torch convention), keyed per layer.
+
+    (Hoisting the constant per-step half of the layer-0 input projection
+    out of the scan was measured at 128 vs 139 steps/s — the single
+    fused matmul wins at these sizes, so the simple concat form is
+    kept.)
+    """
+    new_h = []
+    inp = x
+    n_layers = len(gru_params)
+    for layer_idx, p in enumerate(gru_params):
+        h_l = gru_cell(p, inp, h[layer_idx])
+        new_h.append(h_l)
+        inp = h_l
+        if (
+            train
+            and dropout_rate > 0.0
+            and layer_idx < n_layers - 1
+            and dropout_rng is not None
+        ):
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, layer_idx),
+                1.0 - dropout_rate,
+                inp.shape,
+            )
+            inp = jnp.where(keep, inp / (1.0 - dropout_rate), 0.0)
+    return inp, jnp.stack(new_h, 0)
+
+
+class SRDecoder(nn.Module):
+    """Single-RNN autoregressive decoder (reference decoder.py:53-210).
+
+    z is projected once (Dense → SELU → Dense) to a note-embedding-sized
+    conditioning vector and concatenated to every step's input
+    [prev-note embedding ‖ z embedding]; the output head is
+    Dense → ReLU logits and the next input embeds either the teacher
+    token or the model's own argmax/multinomial sample, with one
+    teacher-forcing coin flip per batch. The reference runs the feedback
+    loop as T Python-level GRU invocations; here it is one
+    ``jax.lax.scan`` sharing the compiled program between the forced and
+    free-running branches.
+    """
+
+    num_notes: int
+    note_embedding_dim: int = 10
+    rnn_hidden_size: int = 512
+    num_layers: int = 2
+    dropout: float = 0.5
+    z_dim: int = 256
+    teacher_forcing_prob: float = 0.5
+    sampling: str = "argmax"  # 'argmax' | 'multinomial'
+
+    def setup(self):
+        H, E, V = self.rnn_hidden_size, self.note_embedding_dim, self.num_notes
+        self.embedding = self.param("embedding", _XAVIER, (V, E))
+        self.z2in_w1, self.z2in_b1 = _dense_params(self, "z2in1", self.z_dim, H)
+        self.z2in_w2, self.z2in_b2 = _dense_params(self, "z2in2", H, E)
+        self.x_0 = self.param("x_0", nn.initializers.zeros, (E,))
+        self.gru = self.param(
+            "gru",
+            lambda rng: init_stacked_gru_params(rng, 2 * E, H,
+                                                self.num_layers),
+        )
+        self.out_w, self.out_b = _dense_params(self, "out", H, V)
+
+    def __call__(
+        self,
+        z: jax.Array,
+        score: jax.Array,
+        train: bool = True,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (weights (B, T, V) logits, samples (B, T))."""
+        B = z.shape[0]
+        T = score.shape[1]
+        H, L, E = self.rnn_hidden_size, self.num_layers, self.note_embedding_dim
+        if key is None:
+            key = self.make_rng("sample")
+        k_tf, k_drop, k_samp = jax.random.split(key, 3)
+
+        if train:
+            teacher_forced = (
+                jax.random.uniform(k_tf, ()) < self.teacher_forcing_prob
+            )
+        else:
+            teacher_forced = jnp.asarray(False)
+        sampling = self.sampling if train else "argmax"
+
+        z_emb = (
+            nn.selu(z @ self.z2in_w1 + self.z2in_b1) @ self.z2in_w2
+            + self.z2in_b2
+        )  # (B, E), constant across steps
+        x0 = jnp.broadcast_to(self.x_0[None, :], (B, E))
+
+        def step(carry, t):
+            h, prev_emb = carry
+            x_in = jnp.concatenate([prev_emb, z_emb], axis=-1)
+            step_drop = jax.random.fold_in(k_drop, t) if train else None
+            top, h = _stacked_gru_step(
+                self.gru, x_in, h, self.dropout, step_drop, train
+            )
+            logits = nn.relu(top @ self.out_w + self.out_b)  # (B, V)
+            if sampling == "multinomial":
+                sampled = jax.random.categorical(
+                    jax.random.fold_in(k_samp, t), logits, axis=-1
+                )
+            else:
+                sampled = jnp.argmax(logits, axis=-1)
+            next_tok = jnp.where(teacher_forced, score[:, t], sampled)
+            next_tok = jax.lax.stop_gradient(next_tok.astype(jnp.int32))
+            prev_emb = jnp.take(self.embedding, next_tok, axis=0)
+            return (h, prev_emb), (logits, next_tok)
+
+        h_init = jnp.zeros((L, B, H), jnp.float32)
+        (_, _), (weights, samples) = jax.lax.scan(
+            step, (h_init, x0), jnp.arange(T)
+        )
+        return jnp.transpose(weights, (1, 0, 2)), jnp.transpose(samples)
+
+
+class SRDecoderNoInput(nn.Module):
+    """Non-autoregressive single-RNN decoder (reference decoder.py:213-306).
+
+    The tiled z projection (one Dense, no nonlinearity) is the entire
+    RNN input — no token feedback, so the whole sequence is a single
+    stacked-GRU pass: the ideal XLA shape (whole-sequence batched
+    matmuls, nothing data-dependent in the carry).
+    """
+
+    num_notes: int
+    note_embedding_dim: int = 10
+    rnn_hidden_size: int = 512
+    num_layers: int = 2
+    dropout: float = 0.5
+    z_dim: int = 256
+    teacher_forcing_prob: float = 0.5  # API parity; feedback-free
+    sampling: str = "argmax"  # 'argmax' | 'multinomial'
+
+    def setup(self):
+        H, V = self.rnn_hidden_size, self.num_notes
+        self.z2in_w, self.z2in_b = _dense_params(self, "z2in", self.z_dim, H)
+        self.gru = self.param(
+            "gru",
+            lambda rng: init_stacked_gru_params(rng, H, H, self.num_layers),
+        )
+        self.out_w, self.out_b = _dense_params(self, "out", H, V)
+
+    def __call__(
+        self,
+        z: jax.Array,
+        score: jax.Array,
+        train: bool = True,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (weights (B, T, V) logits, samples (B, T))."""
+        B = z.shape[0]
+        T = score.shape[1]
+        H, L = self.rnn_hidden_size, self.num_layers
+        if key is None:
+            key = self.make_rng("sample")
+        k_drop, k_samp = jax.random.split(key)
+        sampling = self.sampling if train else "argmax"
+
+        rnn_in = jnp.broadcast_to(
+            (z @ self.z2in_w + self.z2in_b)[:, None, :], (B, T, H)
+        )
+        h0 = jnp.zeros((L, B, H), jnp.float32)
+        out, _ = gru_forward(
+            self.gru, rnn_in, h0,
+            dropout_rate=self.dropout,
+            dropout_rng=k_drop if train else None,
+            train=train,
+        )  # (B, T, H)
+        weights = nn.relu(out @ self.out_w + self.out_b)  # (B, T, V)
+        if sampling == "multinomial":
+            samples = jax.random.categorical(k_samp, weights, axis=-1)
+        else:
+            samples = jnp.argmax(weights, axis=-1)
+        return weights, samples.astype(jnp.int32)
+
+
 class HierarchicalDecoder(nn.Module):
     """Beat-RNN / tick-RNN hierarchical decoder
     (reference decoder.py:309-525)."""
@@ -171,32 +356,9 @@ class HierarchicalDecoder(nn.Module):
         self.out_w, self.out_b = _dense_params(self, "out", H, V)
 
     def _multi_layer_step(self, x, h, dropout_rng, train):
-        """One time step through L stacked GRU layers.
-        x: (B, E+H); h: (L, B, H) → (top output (B, H), new h).
-
-        (Hoisting the constant per-beat half of the layer-0 input
-        projection out of the scan was measured at 128 vs 139 steps/s —
-        the single fused matmul wins at these sizes, so the simple
-        concat form is kept.)"""
-        new_h = []
-        inp = x
-        for layer_idx, p in enumerate(self.tick_gru):
-            h_l = gru_cell(p, inp, h[layer_idx])
-            new_h.append(h_l)
-            inp = h_l
-            if (
-                train
-                and self.dropout > 0.0
-                and layer_idx < self.num_layers - 1
-                and dropout_rng is not None
-            ):
-                keep = jax.random.bernoulli(
-                    jax.random.fold_in(dropout_rng, layer_idx),
-                    1.0 - self.dropout,
-                    inp.shape,
-                )
-                inp = jnp.where(keep, inp / (1.0 - self.dropout), 0.0)
-        return inp, jnp.stack(new_h, 0)
+        """One tick step through the L stacked tick-GRU layers."""
+        return _stacked_gru_step(self.tick_gru, x, h, self.dropout,
+                                 dropout_rng, train)
 
     def __call__(
         self,
@@ -279,8 +441,21 @@ class HierarchicalDecoder(nn.Module):
         return weights, samples
 
 
+DECODER_CLASSES = {
+    "hier": HierarchicalDecoder,
+    "sr": SRDecoder,
+    "sr-no-input": SRDecoderNoInput,
+}
+
+
 class MeasureVAE(nn.Module):
-    """Encoder + HierarchicalDecoder VAE (reference measure_vae.py:11-166)."""
+    """Encoder + selectable decoder VAE (reference measure_vae.py:11-166).
+
+    ``decoder_type`` selects among the reference's three decoder
+    variants: 'hier' (HierarchicalDecoder, the default and the one the
+    reference actually wires in), 'sr' (SRDecoder), and 'sr-no-input'
+    (SRDecoderNoInput) — reference decoder.py:53-306.
+    """
 
     num_notes: int
     note_embedding_dim: int = 10
@@ -291,6 +466,7 @@ class MeasureVAE(nn.Module):
     num_decoder_layers: int = 2
     decoder_hidden_size: int = 512
     decoder_dropout_prob: float = 0.5
+    decoder_type: str = "hier"
 
     def setup(self):
         self.encoder = Encoder(
@@ -301,7 +477,14 @@ class MeasureVAE(nn.Module):
             dropout=self.encoder_dropout_prob,
             z_dim=self.latent_space_dim,
         )
-        self.decoder = HierarchicalDecoder(
+        try:
+            decoder_cls = DECODER_CLASSES[self.decoder_type]
+        except KeyError:
+            raise ValueError(
+                f"unknown decoder_type {self.decoder_type!r}; "
+                f"choose from {sorted(DECODER_CLASSES)}"
+            ) from None
+        self.decoder = decoder_cls(
             num_notes=self.num_notes,
             note_embedding_dim=self.note_embedding_dim,
             rnn_hidden_size=self.decoder_hidden_size,

@@ -75,8 +75,14 @@ class MeasureVAETrainer(BaseTrainer):
     # -- identity --------------------------------------------------------------
 
     def model_repr(self) -> str:
+        # Non-default decoder variants get their own run dirs, mirroring
+        # how the reference bakes the decoder __repr__ into the path.
+        decoder_tag = {
+            "hier": "", "sr": "_SRDecoder", "sr-no-input": "_SRDecoderNoInput"
+        }.get(getattr(self.model, "decoder_type", "hier"), "")
         return (
-            self.dataset_type + "_MeasureVAE" + trainer_config_string(self.hparams)
+            self.dataset_type + "_MeasureVAE" + decoder_tag
+            + trainer_config_string(self.hparams)
         )
 
     # -- state -----------------------------------------------------------------

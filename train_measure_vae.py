@@ -39,6 +39,10 @@ from arvae_tpu.training.measure_trainer import MeasureVAETrainer
               help="hidden size of the decoder RNN")
 @click.option("--decoder_dropout_prob", default=0.5,
               help="dropout prob between decoder RNN layers")
+@click.option("--decoder_type", default="hier",
+              type=click.Choice(["hier", "sr", "sr-no-input"]),
+              help="decoder variant: hierarchical (reference default), "
+                   "single-RNN autoregressive, or non-autoregressive")
 @click.option("--batch_size", default=256, help="training batch size")
 @click.option("--num_epochs", default=30, help="number of training epochs")
 @click.option("--lr", default=1e-4, help="learning rate")
@@ -66,6 +70,7 @@ def main(
     num_decoder_layers,
     decoder_hidden_size,
     decoder_dropout_prob,
+    decoder_type,
     has_metadata,
     batch_size,
     num_epochs,
@@ -120,6 +125,7 @@ def main(
             num_decoder_layers=num_decoder_layers,
             decoder_hidden_size=decoder_hidden_size,
             decoder_dropout_prob=decoder_dropout_prob,
+            decoder_type=decoder_type,
         )
         trainer = MeasureVAETrainer(
             dataset=dataset,
