@@ -13,7 +13,7 @@ import queue
 import threading
 from typing import Any, Callable, Iterable, Iterator, Optional
 
-from arvae_tpu.parallel import MeshContext, shard_batch
+from arvae_tpu.parallel import MeshContext, shard_batch_truncated
 
 
 class DevicePrefetcher:
@@ -44,7 +44,11 @@ class DevicePrefetcher:
             try:
                 for batch in self.loader:
                     batch = self.process_fn(batch)
-                    q.put(shard_batch(self.mesh, batch))
+                    # partial final batches are truncated to a multiple
+                    # of the data axis (a no-op when n_data == 1) rather
+                    # than padded with repeats, which would bias the
+                    # per-batch metric means
+                    q.put(shard_batch_truncated(self.mesh, batch))
             except BaseException as e:  # surface worker errors to consumer
                 err.append(e)
             finally:

@@ -2,8 +2,11 @@ from arvae_tpu.parallel.mesh import (
     MeshContext,
     create_mesh,
     batch_sharding,
+    masked_mean,
     replicated_sharding,
     shard_batch,
+    shard_batch_padded,
+    shard_batch_truncated,
     shard_pytree_replicated,
 )
 
@@ -11,7 +14,10 @@ __all__ = [
     "MeshContext",
     "create_mesh",
     "batch_sharding",
+    "masked_mean",
     "replicated_sharding",
     "shard_batch",
+    "shard_batch_padded",
+    "shard_batch_truncated",
     "shard_pytree_replicated",
 ]

@@ -25,9 +25,10 @@ semantics (the cheap option identified in SURVEY.md §5.7).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -100,20 +101,77 @@ def replicated_sharding(ctx: MeshContext) -> NamedSharding:
 def shard_batch(ctx: MeshContext, batch: Any) -> Any:
     """Device-puts a host batch, sharding the leading axis over 'data'.
 
-    Arrays whose leading dimension does not divide the data axis are
-    padded by repeating the final element (the pad elements are real
-    data repeats; trainers weight per-example reductions accordingly
-    when exactness matters — the epoch drivers always use
-    divisible batch sizes so padding only arises in ad-hoc eval).
+    Raises on leading dimensions that do not divide the data axis —
+    silent padding biases any per-example mean computed downstream.
+    Callers with genuinely ragged batches choose their semantics
+    explicitly: ``shard_batch_padded`` (zero-pad + weight mask, exact
+    means via ``masked_mean``) or ``shard_batch_truncated`` (drop the
+    remainder rows).
     """
 
     def _put(x):
         x = np.asarray(x)
         d = ctx.n_data
         if x.shape[0] % d != 0:
-            pad = ctx.pad_batch(x.shape[0]) - x.shape[0]
-            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+            raise ValueError(
+                f"batch leading dim {x.shape[0]} does not divide the "
+                f"data axis ({d}); use shard_batch_padded (mask) or "
+                "shard_batch_truncated (drop remainder)"
+            )
         return jax.device_put(x, ctx.batch)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def shard_batch_padded(ctx: MeshContext, batch: Any) -> Tuple[Any, jax.Array]:
+    """Zero-pads each array's leading axis up to a multiple of the data
+    axis and device-puts it sharded; returns ``(batch, mask)`` where
+    ``mask`` is float32 (N_padded,) with 1.0 on real rows.
+
+    Reductions over the padded batch stay exact through
+    ``masked_mean(values, mask)``.
+    """
+    sizes = {np.asarray(x).shape[0] for x in jax.tree_util.tree_leaves(batch)}
+    if len(sizes) != 1:
+        raise ValueError(f"inconsistent leading dims in batch: {sizes}")
+    (n,) = sizes
+    n_pad = ctx.pad_batch(n)
+
+    def _put(x):
+        x = np.asarray(x)
+        if n_pad != n:
+            pad_shape = (n_pad - n,) + x.shape[1:]
+            x = np.concatenate([x, np.zeros(pad_shape, x.dtype)], axis=0)
+        return jax.device_put(x, ctx.batch)
+
+    mask = np.zeros((n_pad,), np.float32)
+    mask[:n] = 1.0
+    return (
+        jax.tree_util.tree_map(_put, batch),
+        jax.device_put(mask, ctx.batch),
+    )
+
+
+def masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean over the elements of ``values`` belonging to rows where
+    ``mask`` is 1 — unbiased under ``shard_batch_padded`` padding."""
+    mask = mask.reshape((mask.shape[0],) + (1,) * (values.ndim - 1))
+    n_per_row = values.size // values.shape[0]
+    return jnp.sum(values * mask) / jnp.maximum(
+        jnp.sum(mask) * n_per_row, 1.0
+    )
+
+
+def shard_batch_truncated(ctx: MeshContext, batch: Any) -> Any:
+    """Drops up to ``n_data - 1`` trailing rows so the leading axis
+    divides the data axis, then device-puts sharded. A no-op on a
+    1-device data axis (the single-chip case): every batch divides."""
+    d = ctx.n_data
+
+    def _put(x):
+        x = np.asarray(x)
+        keep = (x.shape[0] // d) * d
+        return jax.device_put(x[:keep], ctx.batch)
 
     return jax.tree_util.tree_map(_put, batch)
 

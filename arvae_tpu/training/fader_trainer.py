@@ -245,12 +245,12 @@ class ImageFaderTrainer(ImageVAETrainer):
         # eval path needs (params, disc_params) instead of bare params
         if train:
             return super().loss_and_acc_on_epoch(loader, epoch_num, train)
-        from arvae_tpu.parallel import shard_batch
+        from arvae_tpu.parallel import shard_batch_truncated
 
         total_loss, total_acc, n = 0.0, 0.0, 0
         for batch_num, batch in enumerate(loader):
             batch = self.process_batch(batch)
-            batch = shard_batch(self.mesh, batch)
+            batch = shard_batch_truncated(self.mesh, batch)
             key = jax.random.fold_in(
                 self._base_key, (epoch_num + 1) * 100003 + batch_num * 2
             )

@@ -20,7 +20,7 @@ from sklearn.metrics import (
 
 from arvae_tpu.core.checkpoint import Checkpointer
 from arvae_tpu.data.mnist import MnistDataset
-from arvae_tpu.parallel import create_mesh, shard_batch
+from arvae_tpu.parallel import create_mesh, shard_batch_truncated
 from arvae_tpu.training.resnet_judge import MnistResNet, judge_run_dir
 
 
@@ -78,8 +78,10 @@ def main(batch_size, num_epochs, lr):
     ckpt = Checkpointer(judge_run_dir())
     for epoch in range(num_epochs):
         for images, labels in gen_train:
-            images = shard_batch(ctx, np.asarray(images, np.float32))
-            labels = shard_batch(ctx, np.asarray(labels, np.int32))
+            images, labels = shard_batch_truncated(
+                ctx, (np.asarray(images, np.float32),
+                      np.asarray(labels, np.int32))
+            )
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, images, labels
             )

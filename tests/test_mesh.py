@@ -3,8 +3,15 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from arvae_tpu.parallel import create_mesh, shard_batch
+from arvae_tpu.parallel import (
+    create_mesh,
+    masked_mean,
+    shard_batch,
+    shard_batch_padded,
+    shard_batch_truncated,
+)
 
 
 def test_mesh_shape_default():
@@ -22,12 +29,41 @@ def test_shard_batch_even():
     assert len(y.sharding.device_set) == ctx.n_data
 
 
-def test_shard_batch_pads_uneven():
+def test_shard_batch_raises_on_uneven():
+    # silent repeat-padding biased downstream means; non-divisible
+    # batches must now pick explicit semantics
     ctx = create_mesh()
     x = np.arange(10, dtype=np.float32).reshape(10, 1)
-    y = shard_batch(ctx, x)
-    assert y.shape[0] % ctx.n_data == 0
-    np.testing.assert_array_equal(np.asarray(y)[:10], x)
+    with pytest.raises(ValueError, match="does not divide"):
+        shard_batch(ctx, x)
+
+
+def test_shard_batch_padded_mask_gives_unbiased_mean():
+    # regression: the mean of a non-divisible batch through the
+    # pad+mask path equals the plain numpy mean exactly
+    ctx = create_mesh()
+    rng = np.random.RandomState(0)
+    x = rng.randn(13, 4).astype(np.float32)  # 13 % 8 != 0
+    (xp,), mask = shard_batch_padded(ctx, (x,))
+    assert xp.shape[0] % ctx.n_data == 0
+    assert mask.shape == (xp.shape[0],)
+
+    @jax.jit
+    def mean_fn(v, m):
+        return masked_mean(v, m)
+
+    np.testing.assert_allclose(
+        float(mean_fn(xp, mask)), float(x.mean()), rtol=1e-6
+    )
+
+
+def test_shard_batch_truncated_drops_remainder():
+    ctx = create_mesh()
+    x = np.arange(13, dtype=np.float32).reshape(13, 1)
+    y = shard_batch_truncated(ctx, x)
+    keep = (13 // ctx.n_data) * ctx.n_data
+    assert y.shape[0] == keep
+    np.testing.assert_array_equal(np.asarray(y), x[:keep])
 
 
 def test_sharded_computation_matches_single_device():
