@@ -33,10 +33,9 @@ from flax import linen as nn
 from flax import struct
 
 from arvae_tpu.ops.gru import (
-    gru_cell,
-    gru_cell_from_gi,
     gru_forward,
     init_stacked_gru_params,
+    stacked_gru_step_from_gi,
 )
 
 _XAVIER = jax.nn.initializers.xavier_normal()
@@ -129,39 +128,6 @@ class Encoder(nn.Module):
         return z_mean, z_log_std
 
 
-def _stacked_gru_step(gru_params, x, h, dropout_rate, dropout_rng, train):
-    """One time step through stacked GRU layers.
-
-    x: (B, I); h: (num_layers, B, H) → (top output (B, H), new h).
-    Inter-layer dropout only (torch convention), keyed per layer.
-
-    (Hoisting the constant per-step half of the layer-0 input projection
-    out of the scan was measured at 128 vs 139 steps/s — the single
-    fused matmul wins at these sizes, so the simple concat form is
-    kept.)
-    """
-    new_h = []
-    inp = x
-    n_layers = len(gru_params)
-    for layer_idx, p in enumerate(gru_params):
-        h_l = gru_cell(p, inp, h[layer_idx])
-        new_h.append(h_l)
-        inp = h_l
-        if (
-            train
-            and dropout_rate > 0.0
-            and layer_idx < n_layers - 1
-            and dropout_rng is not None
-        ):
-            keep = jax.random.bernoulli(
-                jax.random.fold_in(dropout_rng, layer_idx),
-                1.0 - dropout_rate,
-                inp.shape,
-            )
-            inp = jnp.where(keep, inp / (1.0 - dropout_rate), 0.0)
-    return inp, jnp.stack(new_h, 0)
-
-
 class SRDecoder(nn.Module):
     """Single-RNN autoregressive decoder (reference decoder.py:53-210).
 
@@ -227,12 +193,17 @@ class SRDecoder(nn.Module):
         )  # (B, E), constant across steps
         x0 = jnp.broadcast_to(self.x_0[None, :], (B, E))
 
+        # z-conditioning half of the layer-0 input projection is
+        # step-constant — hoist it out of the sequential loop
+        w_ih0 = self.gru[0]["w_ih"]  # (2E, 3H)
+        gi_z = z_emb @ w_ih0[E:] + self.gru[0]["b_ih"]  # (B, 3H)
+
         def step(carry, t):
             h, prev_emb = carry
-            x_in = jnp.concatenate([prev_emb, z_emb], axis=-1)
+            gi0 = prev_emb @ w_ih0[:E] + gi_z
             step_drop = jax.random.fold_in(k_drop, t) if train else None
-            top, h = _stacked_gru_step(
-                self.gru, x_in, h, self.dropout, step_drop, train
+            top, h = stacked_gru_step_from_gi(
+                self.gru, gi0, h, self.dropout, step_drop, train
             )
             logits = nn.relu(top @ self.out_w + self.out_b)  # (B, V)
             if sampling == "multinomial":
@@ -355,11 +326,6 @@ class HierarchicalDecoder(nn.Module):
         )
         self.out_w, self.out_b = _dense_params(self, "out", H, V)
 
-    def _multi_layer_step(self, x, h, dropout_rng, train):
-        """One tick step through the L stacked tick-GRU layers."""
-        return _stacked_gru_step(self.tick_gru, x, h, self.dropout,
-                                 dropout_rng, train)
-
     def __call__(
         self,
         z: jax.Array,
@@ -409,16 +375,26 @@ class HierarchicalDecoder(nn.Module):
         # -- tick RNN: one scan over all 24 ticks --------------------------
         x0 = jnp.broadcast_to(self.x_0[None, :], (B, E))
 
+        # the beat-conditioning half of the layer-0 input projection is
+        # constant within a beat — hoist it out of the sequential loop
+        # as one (4·B, H)@(H, 3H) matmul
+        w_ih0 = self.tick_gru[0]["w_ih"]  # (E+H, 3H)
+        gi_beat = (
+            beat_emb_in @ w_ih0[E:] + self.tick_gru[0]["b_ih"]
+        )  # (4, B, 3H)
+
         def step(carry, t):
             h, prev_emb = carry
             ib = t // NUM_TICKS_PER_BEAT
             reset = (t % NUM_TICKS_PER_BEAT) == 0
             h = jnp.where(reset, tick_h0[ib], h)
-            x_in = jnp.concatenate([prev_emb, beat_emb_in[ib]], axis=-1)
+            gi0 = prev_emb @ w_ih0[:E] + gi_beat[ib]
             step_drop = (
                 jax.random.fold_in(k_drop, t + 100) if train else None
             )
-            top, h = self._multi_layer_step(x_in, h, step_drop, train)
+            top, h = stacked_gru_step_from_gi(
+                self.tick_gru, gi0, h, self.dropout, step_drop, train
+            )
             logits = nn.relu(top @ self.out_w + self.out_b)  # (B, V)
             if sampling == "multinomial":
                 sampled = jax.random.categorical(

@@ -93,6 +93,45 @@ def gru_cell(params: GRUParams, x: jax.Array, h: jax.Array) -> jax.Array:
     return (1.0 - z) * n + z * h
 
 
+def stacked_gru_step_from_gi(
+    params_layers: List[GRUParams],
+    gi0: jax.Array,
+    h: jax.Array,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One time step through stacked GRU layers where layer 0's input
+    projection ``gi0 = x @ w_ih + b_ih`` is already computed — lets
+    autoregressive scans hoist the input-constant part of the
+    projection (e.g. the per-beat conditioning column block) out of the
+    sequential loop. gi0: (B, 3H); h: (L, B, H) → (top (B, H), new h).
+    Inter-layer dropout only (torch convention), keyed per layer."""
+    new_h = []
+    inp: Optional[jax.Array] = None
+    n_layers = len(params_layers)
+    for layer_idx, p in enumerate(params_layers):
+        if layer_idx == 0:
+            h_l = gru_cell_from_gi(p, gi0, h[0])
+        else:
+            h_l = gru_cell(p, inp, h[layer_idx])
+        new_h.append(h_l)
+        inp = h_l
+        if (
+            train
+            and dropout_rate > 0.0
+            and layer_idx < n_layers - 1
+            and dropout_rng is not None
+        ):
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, layer_idx),
+                1.0 - dropout_rate,
+                inp.shape,
+            )
+            inp = jnp.where(keep, inp / (1.0 - dropout_rate), 0.0)
+    return inp, jnp.stack(new_h, 0)
+
+
 def gru_layer(
     params: GRUParams,
     xs: jax.Array,
@@ -100,14 +139,20 @@ def gru_layer(
     reverse: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Scan one direction over time. xs: (B, T, I), h0: (B, H) →
-    (outputs (B, T, H), h_final (B, H))."""
+    (outputs (B, T, H), h_final (B, H)).
 
-    def step(h, x_t):
-        h_new = gru_cell(params, x_t, h)
+    The input projection has no sequential dependence, so it is hoisted
+    out of the scan as ONE (B·T, I)@(I, 3H) matmul — a much better MXU
+    shape than T small matmuls — leaving only the recurrent h@w_hh
+    inside the scan."""
+    gi_all = xs @ params["w_ih"] + params["b_ih"]  # (B, T, 3H)
+
+    def step(h, gi_t):
+        h_new = gru_cell_from_gi(params, gi_t, h)
         return h_new, h_new
 
-    xs_t = jnp.swapaxes(xs, 0, 1)  # (T, B, I)
-    h_final, outs = jax.lax.scan(step, h0, xs_t, reverse=reverse)
+    gi_t = jnp.swapaxes(gi_all, 0, 1)  # (T, B, 3H)
+    h_final, outs = jax.lax.scan(step, h0, gi_t, reverse=reverse)
     return jnp.swapaxes(outs, 0, 1), h_final
 
 
