@@ -319,4 +319,32 @@ class VAETester:
 
 
 class VAETesterGLSR(VAETester):
-    """GLSR-model variant (reference vae_tester_glsr.py:5-25)."""
+    """GLSR-model variant (reference vae_tester_glsr.py:5-25).
+
+    The reference subclass rewires the analysis onto the GLSR run: it
+    appends 'GLSR' to the trainer config (selecting the GLSR run dir)
+    and loads that checkpoint. Here the same wiring builds a
+    ``MeasureVAETrainerGLSR`` around the dataset/model — whose
+    ``model_repr`` carries the 'GLSR' suffix — and restores its
+    checkpoint before analysis.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        model,
+        reg_type: str = "rhy_complexity",
+        reg_dim: int = 0,
+        rand: int = 0,
+        plots_dir: Optional[str] = None,
+        load: bool = True,
+    ):
+        from arvae_tpu.training.glsr_trainer import MeasureVAETrainerGLSR
+
+        trainer = MeasureVAETrainerGLSR(
+            dataset, model, reg_type=reg_type, reg_dim=reg_dim, rand=rand
+        )
+        assert trainer.model_repr().endswith("GLSR")
+        if load:
+            trainer.load_model()
+        super().__init__(trainer, plots_dir=plots_dir)

@@ -147,3 +147,35 @@ class TestVAETester:
         assert os.path.exists(
             os.path.join(tester.plots_dir, "pca_num_notes_measure_vae.png")
         )
+
+
+class TestVAETesterGLSR:
+    def test_wires_glsr_run_and_analyzes(self, folk, tmp_path, monkeypatch):
+        """Train a GLSR model for one epoch, then instantiate the GLSR
+        tester: it must resolve the 'GLSR'-suffixed run dir, restore
+        that checkpoint, and run an analysis method."""
+        monkeypatch.setenv("ARVAE_MODELS_DIR", str(tmp_path / "models"))
+        from arvae_tpu.eval.tester import VAETesterGLSR
+        from arvae_tpu.training.glsr_trainer import MeasureVAETrainerGLSR
+
+        model = MeasureVAE(num_notes=len(folk.note2index_dicts),
+                           encoder_hidden_size=32, decoder_hidden_size=32,
+                           latent_space_dim=16)
+        tr = MeasureVAETrainerGLSR(folk, model, reg_type="rhy_complexity",
+                                   reg_dim=0, rand=0)
+        tr.train_model(batch_size=32, num_epochs=1, log=False)
+        trained = jax.device_get(tr.state.params)
+
+        tester = VAETesterGLSR(folk, model, reg_type="rhy_complexity",
+                               reg_dim=0, rand=0,
+                               plots_dir=str(tmp_path / "plots"))
+        assert tester.trainer.model_repr().endswith("GLSR")
+        # restored the trained checkpoint, not a fresh init
+        restored = jax.device_get(tester.trainer.state.params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            restored, trained,
+        )
+        dim, score = tester.test_interpretability(32, "rhy_complexity")
+        assert 0 <= dim < 16 and np.isfinite(score)
