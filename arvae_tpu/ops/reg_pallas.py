@@ -8,17 +8,22 @@ and a (B,) attribute column a):
 by materializing two B²-element matrices in HBM
 (``utils/trainer.py:389-401`` of ashispati/ar-vae). Here the whole
 pairwise block — outer differences, tanh, sign, L1, and the reduction —
-is fused into VMEM: each grid step loads two (B,) rows (a few KB),
-forms a (B, TILE_J) tile of pair contributions in registers, and
-accumulates a scalar. HBM traffic is O(R·B) instead of O(R·B²).
+is fused into VMEM: the (R, B) columns are a few hundred KB even at
+B = 128k, so they live entirely on-chip; each grid step owns one
+(r, i-tile) row block and walks the j-tiles with an inner
+``fori_loop``, forming (TILE_I, TILE_J) pair tiles in registers and
+accumulating. HBM traffic is O(R·B) instead of O(R·B²), and the grid
+stays O(R·B/TILE_I) so per-step launch overhead never dominates.
 
-The backward pass is its own kernel (custom VJP): with
-``t = tanh(delta * (z_i - z_j))`` and ``s = sign(a_i - a_j)``,
+The backward pass exploits the antisymmetry of the pair gradient: with
+``t = tanh(delta * (z_i - z_j))`` and ``s = sign(a_i - a_j)``, the
+contribution ``g_ij = sign(t_ij - s_ij)(1 - t_ij²) * delta`` satisfies
+``g_ji = -g_ij`` (t and s are both odd under i↔j), so
 
-    dL/dz_i = delta/B² * sum_j [ sign(t_ij - s_ij) (1 - t_ij²)
-                               - sign(t_ji - s_ji) (1 - t_ji²) ]
+    dL/dz_i = 1/B² * [ sum_j g_ij - sum_k g_ki ] = 2/B² * sum_j g_ij
 
-(the attribute column gets no gradient — ``sign`` is flat a.e., matching
+— a single row-sum pass, same tiling as the forward (custom VJP; the
+attribute column gets no gradient — ``sign`` is flat a.e., matching
 torch autograd through ``torch.sign`` in the reference).
 
 Stacked over R regularized dims: inputs (R, B) → per-dim losses (R,).
@@ -35,8 +40,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-# Column tile: bounds the (B, TILE_J) in-register pair block. 512 keeps
-# the f32 tile under 2 MB of VMEM even at B = 1024.
+# Pair-block tile: the (TILE_I, TILE_J) f32 tile of pair contributions
+# is 1 MB, so the handful of live temporaries (t, s, mask, |t-s|) stay
+# well inside VMEM at any batch size.
+_TILE_I = 512
 _TILE_J = 512
 
 
@@ -52,36 +59,47 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pair_tile(z, a, z_t, a_t, delta):
+    """t, s for one (TILE_I, TILE_J) pair block."""
+    t = jnp.tanh(delta * (z - z_t))
+    s = jnp.sign(a - a_t)
+    return t, s
+
+
+def _tile_mask(i0, j0, tile_i, tile_j, b_real):
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0) + i0
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1) + j0
+    return jnp.logical_and(row_ids < b_real, col_ids < b_real)
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(delta_ref, z_ref, a_ref, out_ref, *, b_real: int, tile_j: int):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+def _fwd_kernel(delta_ref, z_ref, a_ref, out_ref, *,
+                b_real: int, tile_i: int, tile_j: int, nj: int):
+    r = pl.program_id(0)
+    i = pl.program_id(1)
     delta = delta_ref[0]
-    bp = z_ref.shape[1]
 
-    z = z_ref[i, :].reshape(bp, 1)
-    a = a_ref[i, :].reshape(bp, 1)
-    z_t = z_ref[i, pl.ds(j * tile_j, tile_j)].reshape(1, tile_j)
-    a_t = a_ref[i, pl.ds(j * tile_j, tile_j)].reshape(1, tile_j)
+    z = z_ref[r, pl.ds(i * tile_i, tile_i)].reshape(tile_i, 1)
+    a = a_ref[r, pl.ds(i * tile_i, tile_i)].reshape(tile_i, 1)
 
-    t = jnp.tanh(delta * (z - z_t))
-    s = jnp.sign(a - a_t)
+    def body(j, acc):
+        z_t = z_ref[r, pl.ds(j * tile_j, tile_j)].reshape(1, tile_j)
+        a_t = a_ref[r, pl.ds(j * tile_j, tile_j)].reshape(1, tile_j)
+        t, s = _pair_tile(z, a, z_t, a_t, delta)
+        mask = _tile_mask(i * tile_i, j * tile_j, tile_i, tile_j, b_real)
+        return acc + jnp.sum(jnp.where(mask, jnp.abs(t - s), 0.0))
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bp, tile_j), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (bp, tile_j), 1) + j * tile_j
-    mask = jnp.logical_and(row_ids < b_real, col_ids < b_real)
+    partial = jax.lax.fori_loop(0, nj, body, jnp.float32(0.0))
 
-    partial = jnp.sum(jnp.where(mask, jnp.abs(t - s), 0.0))
-
-    @pl.when(j == 0)
+    @pl.when(i == 0)
     def _():
-        out_ref[i, 0] = 0.0
+        out_ref[r, 0] = 0.0
 
-    out_ref[i, 0] += partial
+    out_ref[r, 0] += partial
 
 
 # ---------------------------------------------------------------------------
@@ -89,33 +107,28 @@ def _fwd_kernel(delta_ref, z_ref, a_ref, out_ref, *, b_real: int, tile_j: int):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(delta_ref, z_ref, a_ref, dz_ref, *, b_real: int, tile_j: int):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+def _bwd_kernel(delta_ref, z_ref, a_ref, dz_ref, *,
+                b_real: int, tile_i: int, tile_j: int, nj: int):
+    r = pl.program_id(0)
+    i = pl.program_id(1)
     delta = delta_ref[0]
-    bp = z_ref.shape[1]
 
-    z = z_ref[i, :].reshape(bp, 1)
-    a = a_ref[i, :].reshape(bp, 1)
-    z_t = z_ref[i, pl.ds(j * tile_j, tile_j)].reshape(1, tile_j)
-    a_t = a_ref[i, pl.ds(j * tile_j, tile_j)].reshape(1, tile_j)
+    z = z_ref[r, pl.ds(i * tile_i, tile_i)].reshape(tile_i, 1)
+    a = a_ref[r, pl.ds(i * tile_i, tile_i)].reshape(tile_i, 1)
 
-    t = jnp.tanh(delta * (z - z_t))
-    s = jnp.sign(a - a_t)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bp, tile_j), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (bp, tile_j), 1) + j * tile_j
-    mask = jnp.logical_and(row_ids < b_real, col_ids < b_real)
-    # g_ij for rows i in [0, bp), cols j in this tile.
-    g = jnp.where(mask, jnp.sign(t - s) * (1.0 - t * t) * delta, 0.0)
+    def body(j, acc):
+        z_t = z_ref[r, pl.ds(j * tile_j, tile_j)].reshape(1, tile_j)
+        a_t = a_ref[r, pl.ds(j * tile_j, tile_j)].reshape(1, tile_j)
+        t, s = _pair_tile(z, a, z_t, a_t, delta)
+        mask = _tile_mask(i * tile_i, j * tile_j, tile_i, tile_j, b_real)
+        g = jnp.where(mask, jnp.sign(t - s) * (1.0 - t * t) * delta, 0.0)
+        return acc + jnp.sum(g, axis=1)
 
-    @pl.when(j == 0)
-    def _():
-        dz_ref[i, :] = jnp.zeros((bp,), jnp.float32)
-
-    # dL/dz_i += sum over this column tile of g_ij  (rows: all i)
-    dz_ref[i, :] += jnp.sum(g, axis=1)
-    # dL/dz_j -= sum over all rows of g_ij          (cols: this tile)
-    dz_ref[i, pl.ds(j * tile_j, tile_j)] += -jnp.sum(g, axis=0)
+    row_sums = jax.lax.fori_loop(
+        0, nj, body, jnp.zeros((tile_i,), jnp.float32)
+    )
+    # antisymmetry g_ji = -g_ij folds the column pass into the row pass
+    dz_ref[r, pl.ds(i * tile_i, tile_i)] = 2.0 * row_sums
 
 
 # ---------------------------------------------------------------------------
@@ -131,18 +144,21 @@ def fused_reg_loss(z_cols: jax.Array, a_cols: jax.Array, delta) -> jax.Array:
 
 def _call_kernel(kernel, z_cols, a_cols, delta, out_full_row: bool):
     r, b = z_cols.shape
-    # Pad the batch so the padded width is a whole number of column tiles.
+    # Pad the batch so the padded width is a whole number of tiles
+    # (_TILE_I == _TILE_J, so one pad unit serves both tilings).
     pad_unit = _LANE if b <= _TILE_J else _TILE_J
     zp = _pad_to(z_cols.astype(jnp.float32), pad_unit)
     ap = _pad_to(a_cols.astype(jnp.float32), pad_unit)
     bp = zp.shape[1]
+    tile_i = min(_TILE_I, bp)
     tile_j = min(_TILE_J, bp)
+    ni = bp // tile_i
     nj = bp // tile_j
     delta_arr = jnp.full((1,), delta, jnp.float32)
 
-    # Whole (R, Bp) arrays live in VMEM/SMEM (a few KB); rows are
-    # selected by program_id inside the kernel, which sidesteps the
-    # (8, 128) block-tiling constraint for row blocks with R not a
+    # Whole (R, Bp) arrays live in VMEM/SMEM (a few hundred KB at most);
+    # rows are selected by program_id inside the kernel, which sidesteps
+    # the (8, 128) block-tiling constraint for row blocks with R not a
     # multiple of 8.
     if out_full_row:
         out_shape = jax.ShapeDtypeStruct((r, bp), jnp.float32)
@@ -152,8 +168,10 @@ def _call_kernel(kernel, z_cols, a_cols, delta, out_full_row: bool):
         out_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     return pl.pallas_call(
-        functools.partial(kernel, b_real=b, tile_j=tile_j),
-        grid=(r, nj),
+        functools.partial(
+            kernel, b_real=b, tile_i=tile_i, tile_j=tile_j, nj=nj
+        ),
+        grid=(r, ni),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -168,7 +186,7 @@ def _call_kernel(kernel, z_cols, a_cols, delta, out_full_row: bool):
 def _fwd_value(z_cols, a_cols, delta):
     b = z_cols.shape[1]
     sums = _call_kernel(_fwd_kernel, z_cols, a_cols, delta, out_full_row=False)
-    return sums[:, 0] / (b * b)
+    return sums[:, 0] * (1.0 / (float(b) * float(b)))
 
 
 def _fwd(z_cols, a_cols, delta):
@@ -179,7 +197,7 @@ def _bwd(residuals, ct):
     z_cols, a_cols, delta = residuals
     b = z_cols.shape[1]
     raw = _call_kernel(_bwd_kernel, z_cols, a_cols, delta, out_full_row=True)
-    dz = raw[:, : z_cols.shape[1]] * (ct[:, None] / (b * b))
+    dz = raw[:, : z_cols.shape[1]] * (ct[:, None] * (1.0 / (float(b) * float(b))))
     return dz.astype(z_cols.dtype), jnp.zeros_like(a_cols), jnp.zeros(())
 
 

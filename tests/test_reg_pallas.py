@@ -57,3 +57,35 @@ def test_jit_and_value_and_grad():
     )(z)
     np.testing.assert_allclose(v, v2, rtol=1e-5)
     np.testing.assert_allclose(g, g2, rtol=1e-4, atol=1e-6)
+
+
+def test_large_batch_b8192_correct():
+    """The kernel's claimed regime (VMEM-bounded large B): at B=8192 the
+    2-D pair-block tiling must stay exact for value and gradient."""
+    rng = np.random.RandomState(11)
+    b = 8192
+    z = jnp.array(rng.randn(1, b), jnp.float32)
+    a = jnp.array(rng.randn(1, b), jnp.float32)
+
+    v_pallas = fused_reg_loss(z, a, 2.0)
+    v_xla = _xla_per_dim(z, a, 2.0)
+    np.testing.assert_allclose(v_pallas, v_xla, rtol=1e-5)
+
+    g_pallas = jax.grad(lambda q: jnp.sum(fused_reg_loss(q, a, 2.0)))(z)
+    g_xla = jax.grad(lambda q: jnp.sum(_xla_per_dim(q, a, 2.0)))(z)
+    np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-4, atol=1e-6)
+
+
+def test_nondivisible_batch_b700_tiled():
+    """A batch that is neither a tile nor a lane multiple exercises the
+    padding + mask path of the tiled kernel."""
+    rng = np.random.RandomState(13)
+    b = 700
+    z = jnp.array(rng.randn(3, b), jnp.float32)
+    a = jnp.array(rng.randn(3, b), jnp.float32)
+    np.testing.assert_allclose(
+        fused_reg_loss(z, a, 1.0), _xla_per_dim(z, a, 1.0), rtol=1e-5
+    )
+    g_pallas = jax.grad(lambda q: jnp.sum(fused_reg_loss(q, a, 1.0)))(z)
+    g_xla = jax.grad(lambda q: jnp.sum(_xla_per_dim(q, a, 1.0)))(z)
+    np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-4, atol=1e-6)
