@@ -99,7 +99,7 @@ class DeviceEpochRunner:
         val_split: DeviceSplit,
         batch_size: int,
         train_step_core: Callable,  # (state, batch, key) -> (state, metrics)
-        eval_step_core: Callable,  # (params, batch, key) -> metrics
+        eval_step_core: Callable,  # (state, batch, key) -> metrics
         base_key: jax.Array,
         steps_per_call: int = 32,
     ):
@@ -135,12 +135,12 @@ class DeviceEpochRunner:
             return jax.jit(chunk, donate_argnums=(0,))
 
         def make_eval_chunk(k_steps: int):
-            def chunk(params, images, labels, i0, key):
+            def chunk(state, images, labels, i0, key):
                 def body(carry, k):
                     idx = jnp.arange(B, dtype=jnp.int32) + (i0 + k) * B
                     batch = val_split.gather_batch(images, labels, idx)
                     metrics = eval_step_core(
-                        params, batch, jax.random.fold_in(key, k)
+                        state, batch, jax.random.fold_in(key, k)
                     )
                     return carry, metrics
                 _, stacked = jax.lax.scan(body, None, jnp.arange(k_steps))
@@ -189,7 +189,7 @@ class DeviceEpochRunner:
             i += k
         return state, totals, max(steps, 1), first_metrics
 
-    def eval_epoch(self, params, epoch_num: int):
+    def eval_epoch(self, state, epoch_num: int):
         sp = self.val_split
         steps = sp.num_batches(self.batch_size)
         totals = None
@@ -199,7 +199,7 @@ class DeviceEpochRunner:
             key = jax.random.fold_in(
                 self._base_key, (epoch_num + 1) * 100003 + i * 2
             )
-            sums = self._eval_chunk(k)(params, sp.images, sp.labels, i, key)
+            sums = self._eval_chunk(k)(state, sp.images, sp.labels, i, key)
             totals = (
                 sums if totals is None
                 else jax.tree_util.tree_map(jnp.add, totals, sums)

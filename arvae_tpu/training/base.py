@@ -35,6 +35,11 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     step: jax.Array
+    # Loss-scale hyperparameters (beta/capacity/gamma/delta) as device
+    # scalars: traced DATA rather than compile-time constants, so
+    # hyperparameter sweeps (script_hyper_param_exp.py's 35-cell grid)
+    # reuse ONE compiled train step instead of recompiling per cell.
+    hyper: Any = None
 
 
 class BaseTrainer(abc.ABC):
@@ -74,11 +79,22 @@ class BaseTrainer(abc.ABC):
     def init_params(self, rng) -> Any:
         """Initializes model parameters from an example batch."""
 
+    def loss_hyper(self) -> Dict[str, jnp.ndarray]:
+        """Loss-scale hyperparameters as f32 scalars (see TrainState.hyper)."""
+        h = self.hparams
+        return {
+            "beta": jnp.float32(h.beta),
+            "capacity": jnp.float32(h.capacity),
+            "gamma": jnp.float32(h.gamma),
+            "delta": jnp.float32(h.delta),
+        }
+
     def init_state(self) -> TrainState:
         params = self.init_params(jax.random.fold_in(self._base_key, 0))
         opt_state = self.optimizer.init(params)
         state = TrainState(params=params, opt_state=opt_state,
-                           step=jnp.zeros((), jnp.int32))
+                           step=jnp.zeros((), jnp.int32),
+                           hyper=self.loss_hyper())
         return jax.device_put(state, self.mesh.replicated)
 
     def ensure_state(self) -> TrainState:
@@ -125,7 +141,7 @@ class BaseTrainer(abc.ABC):
             if train:
                 self.state, metrics = step_fn(self.state, batch, key)
             else:
-                metrics = step_fn(self.state.params, batch, key)
+                metrics = step_fn(self.state, batch, key)
             if batch_num == 0 and train:
                 self._log_loss_split(metrics, epoch_num)  # one host sync
             totals = (
@@ -221,7 +237,7 @@ class BaseTrainer(abc.ABC):
                 self._log_loss_split(first, epoch_index)
                 mean_loss_train = float(totals["loss"]) / n
                 mean_accuracy_train = float(totals.get("accuracy", 0.0)) / n
-                vtot, vn = runner.eval_epoch(self.state.params, epoch_index)
+                vtot, vn = runner.eval_epoch(self.state, epoch_index)
                 mean_loss_val = float(vtot["loss"]) / vn
                 mean_accuracy_val = float(vtot.get("accuracy", 0.0)) / vn
             else:

@@ -109,16 +109,17 @@ class MeasureVAETrainerGLSR(MeasureVAETrainer):
 
     # -- loss -----------------------------------------------------------------
 
-    def _loss_fn(self, params, batch, key, train: bool):
+    def _loss_fn(self, params, batch, key, train: bool, hyper=None):
         score, _ = batch
-        h = self.hparams
+        hy = hyper if hyper is not None else self.loss_hyper()
         k_fwd, k_glsr = jax.random.split(key)
         out = self.model.apply(
             {"params": params}, score, train=train, rng_key=k_fwd
         )
         recons_loss = token_cross_entropy_loss(out.weights, score)
-        dist_loss = kld_loss(out.z_mean, out.z_log_std, h.beta, h.capacity)
-        glsr_loss = h.gamma * self.compute_glsr_loss(
+        dist_loss = kld_loss(out.z_mean, out.z_log_std, hy["beta"],
+                             hy["capacity"])
+        glsr_loss = hy["gamma"] * self.compute_glsr_loss(
             params, out.z_tilde, k_glsr
         )
         loss = recons_loss + dist_loss + glsr_loss

@@ -149,9 +149,10 @@ class ImageVAETrainer(BaseTrainer):
 
     # -- loss --------------------------------------------------------------------
 
-    def _loss_fn(self, params, batch, key, train: bool):
+    def _loss_fn(self, params, batch, key, train: bool, hyper=None):
         inputs, labels = batch
         h = self.hparams
+        hy = hyper if hyper is not None else self.loss_hyper()
         k_drop, k_sample = jax.random.split(key)
         out = self.model.apply(
             {"params": params},
@@ -160,13 +161,14 @@ class ImageVAETrainer(BaseTrainer):
             rngs={"dropout": k_drop, "sample": k_sample},
         )
         recons_loss = reconstruction_loss(out.logits, inputs, h.dec_dist)
-        dist_loss = kld_loss(out.z_mean, out.z_log_std, h.beta, h.capacity)
+        dist_loss = kld_loss(out.z_mean, out.z_log_std, hy["beta"],
+                             hy["capacity"])
         loss = recons_loss + dist_loss
         metrics = {"recons_loss": recons_loss, "dist_loss": dist_loss}
         if h.use_reg_loss:
             reg_pairs = tuple((d, d) for d in h.reg_dim)
             reg_loss = total_reg_loss(
-                out.z_tilde, labels, reg_pairs, h.gamma, h.delta,
+                out.z_tilde, labels, reg_pairs, hy["gamma"], hy["delta"],
                 use_pallas=self.use_pallas,
             )
             loss = loss + reg_loss
@@ -179,7 +181,9 @@ class ImageVAETrainer(BaseTrainer):
 
     def _train_step_core(self, state: TrainState, batch, key):
         grad_fn = jax.value_and_grad(
-            lambda p: self._loss_fn(p, batch, key, train=True), has_aux=True
+            lambda p: self._loss_fn(p, batch, key, train=True,
+                                    hyper=state.hyper),
+            has_aux=True,
         )
         (_, metrics), grads = grad_fn(state.params)
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
@@ -187,12 +191,13 @@ class ImageVAETrainer(BaseTrainer):
         params = optax.apply_updates(state.params, updates)
         return (
             TrainState(params=params, opt_state=opt_state,
-                       step=state.step + 1),
+                       step=state.step + 1, hyper=state.hyper),
             metrics,
         )
 
-    def _eval_step_core(self, params, batch, key):
-        _, metrics = self._loss_fn(params, batch, key, train=False)
+    def _eval_step_core(self, state: TrainState, batch, key):
+        _, metrics = self._loss_fn(state.params, batch, key, train=False,
+                                   hyper=state.hyper)
         return metrics
 
     def make_train_step(self):

@@ -121,21 +121,23 @@ class MeasureVAETrainer(BaseTrainer):
 
     # -- loss -------------------------------------------------------------------
 
-    def _loss_fn(self, params, batch, key, train: bool):
+    def _loss_fn(self, params, batch, key, train: bool, hyper=None):
         score, _ = batch
         h = self.hparams
+        hy = hyper if hyper is not None else self.loss_hyper()
         out = self.model.apply(
             {"params": params}, score, train=train, rng_key=key
         )
         recons_loss = token_cross_entropy_loss(out.weights, score)
-        dist_loss = kld_loss(out.z_mean, out.z_log_std, h.beta, h.capacity)
+        dist_loss = kld_loss(out.z_mean, out.z_log_std, hy["beta"],
+                             hy["capacity"])
         loss = recons_loss + dist_loss
         metrics = {"recons_loss": recons_loss, "dist_loss": dist_loss}
         if h.use_reg_loss:
             labels = self.attrs.compute_labels(score)
             reg_pairs = tuple((d, d) for d in h.reg_dim)
             reg_loss = total_reg_loss(
-                out.z_tilde, labels, reg_pairs, h.gamma, h.delta,
+                out.z_tilde, labels, reg_pairs, hy["gamma"], hy["delta"],
                 use_pallas=self.use_pallas,
             )
             loss = loss + reg_loss
@@ -146,7 +148,9 @@ class MeasureVAETrainer(BaseTrainer):
 
     def _train_step_core(self, state: TrainState, batch, key):
         grad_fn = jax.value_and_grad(
-            lambda p: self._loss_fn(p, batch, key, train=True), has_aux=True
+            lambda p: self._loss_fn(p, batch, key, train=True,
+                                    hyper=state.hyper),
+            has_aux=True,
         )
         (_, metrics), grads = grad_fn(state.params)
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
@@ -154,12 +158,13 @@ class MeasureVAETrainer(BaseTrainer):
         params = optax.apply_updates(state.params, updates)
         return (
             TrainState(params=params, opt_state=opt_state,
-                       step=state.step + 1),
+                       step=state.step + 1, hyper=state.hyper),
             metrics,
         )
 
-    def _eval_step_core(self, params, batch, key):
-        _, metrics = self._loss_fn(params, batch, key, train=False)
+    def _eval_step_core(self, state: TrainState, batch, key):
+        _, metrics = self._loss_fn(state.params, batch, key, train=False,
+                                   hyper=state.hyper)
         return metrics
 
     def make_train_step(self):

@@ -117,24 +117,46 @@ def measure_ours() -> float:
     return n / dt
 
 
-def baseline_steps_per_sec() -> float:
+def baseline_steps_per_sec(key: str = "dsprites_arvae_steps_per_sec") -> float:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
     if os.path.exists(path):
         with open(path) as f:
-            return float(json.load(f)["dsprites_arvae_steps_per_sec"])
+            return float(json.load(f).get(key, float("nan")))
     return float("nan")
+
+
+def measure_music() -> float:
+    """MeasureVAE training throughput (the second headline workload,
+    reference hot loop measurevae/decoder.py:469-525)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_measure_vae",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "bench_measure_vae.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.measure("hier", measure_steps=512)
 
 
 def main():
     ours = measure_ours()
     base = baseline_steps_per_sec()
     vs = ours / base if base == base else float("nan")
+    music = measure_music()
+    music_base = baseline_steps_per_sec("measure_vae_steps_per_sec")
+    music_vs = music / music_base if music_base == music_base else float("nan")
     print(json.dumps({
         "metric": "dsprites_arvae_train_steps_per_sec_b128",
         "value": round(ours, 2),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 2) if vs == vs else None,
+        "measure_vae_steps_per_sec_b256": round(music, 2),
+        "measure_vae_vs_baseline": (
+            round(music_vs, 2) if music_vs == music_vs else None
+        ),
     }))
 
 

@@ -1,0 +1,165 @@
+"""MeasureVAE training-throughput bench (real TPU).
+
+Measures steps/sec of the full music AR-VAE objective (token CE +
+beta-KLD + 4-dim pairwise AR reg with attribute labels computed inside
+jit) at the reference recipe: B=256, hidden 128, latent 32, 2 layers
+(``train_measure_vae.py`` defaults; reference hot loop
+``measurevae/decoder.py:469-525``). Synthetic token corpus so no
+dataset files are needed; dispatch amortized 32 steps/call like the
+real training loop (arvae_tpu/data/device_data.py).
+
+Usage: python scripts/bench_measure_vae.py [--decoder hier|sr|sr-no-input]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 256
+N_ROWS = 65_536
+WARMUP_STEPS = 128
+MEASURE_STEPS = 1024
+VOCAB_SIZE = 130
+
+
+def build_vocab(n: int):
+    """Realistic folk-scale vocab: specials + slurred/plain pitches."""
+    names = ["__", "START", "END", "rest"]
+    midi = 36
+    while len(names) < n:
+        octave, pc = divmod(midi, 12)
+        letter = ["C", "C#", "D", "E-", "E", "F", "F#", "G", "A-", "A",
+                  "B-", "B"][pc]
+        names.append(f"{letter}{octave - 1}")
+        midi += 1
+    return {i: s for i, s in enumerate(names[:n])}
+
+
+def measure(decoder_type: str = "hier", batch: int = BATCH,
+            measure_steps: int = MEASURE_STEPS, ablate: str = "none") -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from arvae_tpu.data.attributes import MusicAttributes
+    from arvae_tpu.models.measure_vae import MEASURE_SEQ_LEN, MeasureVAE
+    from arvae_tpu.ops.losses import (
+        kld_loss,
+        token_accuracy,
+        token_cross_entropy_loss,
+        total_reg_loss,
+    )
+    from arvae_tpu.parallel import create_mesh
+
+    ctx = create_mesh()
+    attrs = MusicAttributes(build_vocab(VOCAB_SIZE))
+    model = MeasureVAE(
+        num_notes=VOCAB_SIZE,
+        note_embedding_dim=10,
+        num_encoder_layers=2,
+        encoder_hidden_size=128,
+        latent_space_dim=32,
+        num_decoder_layers=2,
+        decoder_hidden_size=128,
+        decoder_type=decoder_type,
+    )
+    optimizer = optax.adam(1e-4)
+    reg_pairs = tuple((d, d) for d in range(4))
+
+    rng = np.random.RandomState(0)
+    scores_np = rng.randint(0, VOCAB_SIZE, (N_ROWS, MEASURE_SEQ_LEN)
+                            ).astype(np.int32)
+    scores = jax.device_put(scores_np, ctx.replicated)
+
+    def loss_fn(p, score, key):
+        if ablate == "encoder":
+            # encoder + reparam only
+            import jax.numpy as jnp2
+            z_mean, z_log_std = model.apply(
+                {"params": p}, score, train=True,
+                method=model.encode,
+                rngs={"dropout": jax.random.fold_in(key, 1)},
+            )
+            loss = kld_loss(z_mean, z_log_std, 0.001, 0.0) + jnp2.mean(z_mean)
+            return loss, loss
+        out = model.apply({"params": p}, score, train=True, rng_key=key)
+        loss = token_cross_entropy_loss(out.weights, score)
+        loss += kld_loss(out.z_mean, out.z_log_std, 0.001, 0.0)
+        if ablate != "noreg":
+            labels = attrs.compute_labels(score)
+            loss += total_reg_loss(out.z_tilde, labels, reg_pairs, 1.0, 10.0)
+        return loss, token_accuracy(out.weights, score)
+
+    def train_step(state, score, key):
+        params, opt_state = state
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, score, key
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), {"loss": loss, "accuracy": acc}
+
+    K = 32
+
+    @jax.jit
+    def chunk(state, scores, perm, i0, key):
+        def body(st, k):
+            idx = jax.lax.dynamic_slice(perm, ((i0 + k) * batch,), (batch,))
+            score = jnp.take(scores, idx, axis=0)
+            return train_step(st, score, jax.random.fold_in(key, k))
+        state, stacked = jax.lax.scan(body, state, jnp.arange(K))
+        return state, jax.tree_util.tree_map(lambda m: m[-1], stacked)
+
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        jnp.zeros((1, MEASURE_SEQ_LEN), jnp.int32), train=True,
+    )["params"]
+    params = jax.device_put(params, ctx.replicated)
+    opt_state = jax.device_put(optimizer.init(params), ctx.replicated)
+    state = (params, opt_state)
+    perm = jax.random.permutation(jax.random.key(1), N_ROWS).astype(jnp.int32)
+
+    i = 0
+    while i < WARMUP_STEPS:
+        state, last = chunk(state, scores, perm, i // K % (N_ROWS // batch // K),
+                            jax.random.fold_in(jax.random.key(2), i))
+        i += K
+    float(last["loss"])  # value-pull sync (see bench.py)
+
+    t0 = time.perf_counter()
+    n = 0
+    while n < measure_steps:
+        state, last = chunk(state, scores, perm, n // K % (N_ROWS // batch // K),
+                            jax.random.fold_in(jax.random.key(3), n))
+        n += K
+    float(last["loss"])
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--decoder", default="hier",
+                    choices=["hier", "sr", "sr-no-input"])
+    ap.add_argument("--steps", type=int, default=MEASURE_STEPS)
+    ap.add_argument("--ablate", default="none",
+                    choices=["none", "noreg", "encoder"])
+    args = ap.parse_args()
+    sps = measure(args.decoder, measure_steps=args.steps, ablate=args.ablate)
+    tag = "" if args.ablate == "none" else f"_{args.ablate}"
+    print(json.dumps({
+        "metric": f"measure_vae_{args.decoder}{tag}_train_steps_per_sec_b{BATCH}",
+        "value": round(sps, 2),
+        "unit": "steps/sec",
+    }))
+
+
+if __name__ == "__main__":
+    main()
