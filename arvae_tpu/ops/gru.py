@@ -20,12 +20,30 @@ Parameters per layer: ``w_ih (I, 3H)``, ``w_hh (H, 3H)``, ``b_ih (3H,)``,
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 GRUParams = Dict[str, jax.Array]
+
+
+def _use_fused_chain(batch: int, hidden: int) -> bool:
+    """Route whole-sequence recurrences through the fused Pallas chain
+    kernel (ops/gru_pallas.py) when the TPU tiling allows it.
+
+    ``ARVAE_NO_GRU_PALLAS`` disables it; ``ARVAE_FORCE_GRU_PALLAS``
+    forces it off-TPU (interpret mode — used by the integration test)."""
+    if os.environ.get("ARVAE_NO_GRU_PALLAS"):
+        return False
+    from arvae_tpu.ops.gru_pallas import supports_shapes
+
+    if not supports_shapes(batch, hidden):
+        return False
+    if os.environ.get("ARVAE_FORCE_GRU_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def init_gru_params(
@@ -144,16 +162,89 @@ def gru_layer(
     The input projection has no sequential dependence, so it is hoisted
     out of the scan as ONE (B·T, I)@(I, 3H) matmul — a much better MXU
     shape than T small matmuls — leaving only the recurrent h@w_hh
-    inside the scan."""
+    inside the scan. On TPU with aligned shapes the whole recurrence
+    runs as one fused Pallas chain kernel."""
     gi_all = xs @ params["w_ih"] + params["b_ih"]  # (B, T, 3H)
-
-    def step(h, gi_t):
-        h_new = gru_cell_from_gi(params, gi_t, h)
-        return h_new, h_new
-
     gi_t = jnp.swapaxes(gi_all, 0, 1)  # (T, B, 3H)
-    h_final, outs = jax.lax.scan(step, h0, gi_t, reverse=reverse)
+    if reverse:
+        gi_t = jnp.flip(gi_t, 0)
+
+    b, h_dim = h0.shape
+    if _use_fused_chain(b, h_dim):
+        from arvae_tpu.ops.gru_pallas import gru_chain
+
+        outs = gru_chain(
+            gi_t[:, None], params["w_hh"][None], params["b_hh"][None],
+            h0[None],
+        )[:, 0]  # (T, B, H)
+        h_final = outs[-1]
+    else:
+
+        def step(h, gi_step):
+            h_new = gru_cell_from_gi(params, gi_step, h)
+            return h_new, h_new
+
+        h_final, outs = jax.lax.scan(step, h0, gi_t)
+    if reverse:
+        outs = jnp.flip(outs, 0)
     return jnp.swapaxes(outs, 0, 1), h_final
+
+
+def bigru_layer(
+    fwd_p: GRUParams,
+    bwd_p: GRUParams,
+    xs: jax.Array,
+    h0_f: jax.Array,
+    h0_b: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Both directions of one bidirectional layer in a SINGLE scan.
+
+    Running fwd and bwd as separate scans doubles the sequential-step
+    count — the dominant cost of small-hidden GRUs on TPU, where each
+    scan iteration pays fixed overhead that dwarfs the (B,H)@(H,3H)
+    matmul. Here the backward direction's inputs are time-flipped and
+    stacked on a leading direction axis, so one scan advances both
+    directions with 2-batched matmuls.
+
+    xs: (B, T, I) → (outputs (B, T, 2H), h_final_f (B, H), h_final_b).
+    """
+    w_hh = jnp.stack([fwd_p["w_hh"], bwd_p["w_hh"]])  # (2, H, 3H)
+    b_hh = jnp.stack([fwd_p["b_hh"], bwd_p["b_hh"]])  # (2, 3H)
+
+    # whole-sequence input projections, hoisted (no sequential dep)
+    gi_f = xs @ fwd_p["w_ih"] + fwd_p["b_ih"]  # (B, T, 3H)
+    gi_b = xs @ bwd_p["w_ih"] + bwd_p["b_ih"]
+    gi = jnp.stack(
+        [jnp.swapaxes(gi_f, 0, 1), jnp.flip(jnp.swapaxes(gi_b, 0, 1), 0)],
+        axis=1,
+    )  # (T, 2, B, 3H)
+    h0 = jnp.stack([h0_f, h0_b])  # (2, B, H)
+
+    if _use_fused_chain(h0_f.shape[0], h0_f.shape[1]):
+        from arvae_tpu.ops.gru_pallas import gru_chain
+
+        outs = gru_chain(gi, w_hh, b_hh, h0)  # (T, 2, B, H)
+        h_final = outs[-1]
+    else:
+
+        def step(h, gi_t):
+            gh = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None, :]
+            i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+            h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(i_r + h_r)
+            z = jax.nn.sigmoid(i_z + h_z)
+            n = jnp.tanh(i_n + r * h_n)
+            h_new = (1.0 - z) * n + z * h
+            return h_new, h_new
+
+        h_final, outs = jax.lax.scan(step, h0, gi)  # outs: (T, 2, B, H)
+    out_f = jnp.swapaxes(outs[:, 0], 0, 1)  # (B, T, H)
+    out_b = jnp.swapaxes(jnp.flip(outs[:, 1], 0), 0, 1)
+    return (
+        jnp.concatenate([out_f, out_b], axis=-1),
+        h_final[0],
+        h_final[1],
+    )
 
 
 def gru_forward(
@@ -181,9 +272,7 @@ def gru_forward(
             fwd_p, bwd_p = layer_params
             h0_f = h0[layer_idx * 2]
             h0_b = h0[layer_idx * 2 + 1]
-            out_f, hf = gru_layer(fwd_p, out, h0_f, reverse=False)
-            out_b, hb = gru_layer(bwd_p, out, h0_b, reverse=True)
-            out = jnp.concatenate([out_f, out_b], axis=-1)
+            out, hf, hb = bigru_layer(fwd_p, bwd_p, out, h0_f, h0_b)
             finals.extend([hf, hb])
         else:
             h0_l = h0[layer_idx]
