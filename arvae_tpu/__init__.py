@@ -31,6 +31,13 @@ if not _os.environ.get("ARVAE_NO_COMPILE_CACHE"):
     )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # Cache EVERYTHING: on this backend even trivial utility jits
+        # (threefry_split, convert_element_type, ...) cost ~0.4 s each
+        # through the compile RPC, and a CLI start dispatches dozens of
+        # them — they, not the big train-step HLO, dominated the ~80 s
+        # first-epoch latency. With a 0 s threshold the second run's
+        # startup compiles become ~50 ms cache reads.
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # older jax without these options
         pass
