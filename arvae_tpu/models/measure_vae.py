@@ -383,6 +383,31 @@ class HierarchicalDecoder(nn.Module):
             beat_emb_in @ w_ih0[E:] + self.tick_gru[0]["b_ih"]
         )  # (4, B, 3H)
 
+        from arvae_tpu.ops.hier_decoder_pallas import enabled, hier_tick_chain
+
+        if enabled(B, H, L, self.num_notes, MEASURE_SEQ_LEN, sampling):
+            # whole feedback loop (GRU stack, head, argmax, re-embed) as
+            # one fused VMEM kernel — see ops/hier_decoder_pallas.py
+            seed = jax.random.randint(
+                jax.random.fold_in(k_drop, 424243), (), 0, 2**31 - 1,
+                dtype=jnp.int32,
+            )
+            weights_t, samples_t = hier_tick_chain(
+                MEASURE_SEQ_LEN, bool(train),
+                float(self.dropout) if train else 0.0,
+                jnp.asarray(teacher_forced, jnp.int32), seed,
+                jnp.transpose(score).astype(jnp.int32),
+                gi_beat, tick_h0, x0, self.embedding, w_ih0[:E],
+                self.tick_gru[0]["w_hh"], self.tick_gru[0]["b_hh"],
+                self.tick_gru[1]["w_ih"], self.tick_gru[1]["b_ih"],
+                self.tick_gru[1]["w_hh"], self.tick_gru[1]["b_hh"],
+                self.out_w, self.out_b,
+            )
+            return (
+                jnp.transpose(weights_t, (1, 0, 2)),
+                jnp.transpose(samples_t, (1, 0)),
+            )
+
         def step(carry, t):
             h, prev_emb = carry
             ib = t // NUM_TICKS_PER_BEAT

@@ -1,0 +1,445 @@
+"""Fused Pallas kernel for the hierarchical tick decoder's feedback loop.
+
+The reference's hottest loop (``measurevae/decoder.py:469-525``) — 24
+sequential steps of [2-layer tick GRU → ReLU head → argmax → re-embed
+own sample] — runs here as ONE ``pallas_call``: every operand (GRU
+weights, embedding table, output head, per-beat hidden inits, the
+token feedback) lives in VMEM for the whole measure, and the time loop
+is an in-kernel ``fori_loop``, so the chain pays zero per-step dispatch
+or fusion-region overhead. The embedding lookup of the sampled token is
+a one-hot (B,V)@(V,E) matmul — an MXU gather.
+
+Semantics match the XLA-scan path in models/measure_vae.py exactly for
+``sampling='argmax'`` with dropout off; with dropout on, masks come
+from the TPU PRNG (seeded per step, replayed bit-exactly in the
+backward) — a different stream than ``jax.random`` but the same
+distribution.
+
+Backward is a custom VJP walking the 24 steps in reverse inside one
+kernel: gate activations, dropout masks, and the ReLU mask are
+recomputed from the saved per-step hidden states; gradients accumulate
+in VMEM for all 13 differentiable operands. Feedback tokens carry no
+gradient (``stop_gradient`` on the sampled indices, matching the
+reference's ``.detach()``), but the embedding table does, through the
+one-hot matmuls.
+
+Layer count is fixed at 2 (the reference default); callers fall back to
+the XLA scan otherwise, off-TPU, or for multinomial sampling.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NUM_TICKS_PER_BEAT = 6
+
+
+def supports(batch: int, hidden: int, num_layers: int, num_notes: int,
+             seq_len: int, sampling: str) -> bool:
+    """TPU tiling + VMEM budget guard for the fused decoder."""
+    if num_layers != 2 or sampling != "argmax":
+        return False
+    if hidden % 128 != 0 or batch % 8 != 0:
+        return False
+    # saved hiddens (2 T B H) + logit cotangents (T B V) + operands
+    vmem = 4 * (2 * seq_len * batch * hidden + seq_len * batch * num_notes)
+    return vmem < 10 * 1024 * 1024
+
+
+def enabled(batch: int, hidden: int, num_layers: int, num_notes: int,
+            seq_len: int, sampling: str) -> bool:
+    """Route the tick loop through the fused kernel? Same env switches
+    as the GRU chain kernel (ops/gru.py)."""
+    if os.environ.get("ARVAE_NO_GRU_PALLAS"):
+        return False
+    if not supports(batch, hidden, num_layers, num_notes, seq_len, sampling):
+        return False
+    if os.environ.get("ARVAE_FORCE_GRU_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _gru_gates(gi, gh):
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return r, z, n, h_n
+
+
+def _gru_bwd(dh, r, z, n, h_n, h_prev, w_hh):
+    """Backward through one GRU cell given recomputed gates.
+    Returns (dgi (B,3H), dgh (B,3H), dh_prev (B,H))."""
+    dn = dh * (1.0 - z)
+    dz = dh * (h_prev - n)
+    da_n = dn * (1.0 - n * n)
+    dr = da_n * h_n
+    dgh_n = da_n * r
+    da_z = dz * z * (1.0 - z)
+    da_r = dr * r * (1.0 - r)
+    dgi = jnp.concatenate([da_r, da_z, da_n], axis=-1)
+    dgh = jnp.concatenate([da_r, da_z, dgh_n], axis=-1)
+    dh_prev = dh * z + jax.lax.dot_general(
+        dgh, w_hh, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dgi, dgh, dh_prev
+
+
+def _dropout_mask(seed, t, shape, rate: float):
+    """Deterministic per-(seed, t) keep mask, replayable in the bwd pass."""
+    pltpu.prng_seed(seed + t * 7919)
+    bits = pltpu.prng_random_bits(shape)
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    keep = 1.0 - rate
+    return jnp.where(u < keep, 1.0 / keep, 0.0)
+
+
+def _matT_a_b(a, b):
+    """a^T @ b for a (B, M), b (B, N) -> (M, N) on the MXU."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _a_bT(a, b):
+    """a @ b^T for a (B, N), b (M, N) -> (B, M) on the MXU."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
+                x0_ref, emb_ref, w_ih0e_ref, w_hh0_ref, b_hh0_ref,
+                w_ih1_ref, b_ih1_ref, w_hh1_ref, b_hh1_ref,
+                out_w_ref, out_b_ref,
+                weights_ref, samples_ref, h0_all_ref, h1_all_ref, *,
+                seq_len: int, train: bool, dropout_rate: float):
+    B = x0_ref.shape[0]
+    V = emb_ref.shape[0]
+    teacher = teacher_ref[0] != 0
+    seed = seed_ref[0]
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+
+    def body(t, carry):
+        h0, h1, prev_emb = carry
+        ib = t // NUM_TICKS_PER_BEAT
+        reset = (t % NUM_TICKS_PER_BEAT) == 0
+        h0 = jnp.where(reset, tick_h0_ref[ib, 0], h0)
+        h1 = jnp.where(reset, tick_h0_ref[ib, 1], h1)
+
+        gi0 = (
+            jnp.dot(prev_emb, w_ih0e_ref[:],
+                    preferred_element_type=jnp.float32)
+            + gi_beat_ref[ib]
+        )
+        gh0 = (
+            jnp.dot(h0, w_hh0_ref[:], preferred_element_type=jnp.float32)
+            + b_hh0_ref[:]
+        )
+        r0, z0, n0, _ = _gru_gates(gi0, gh0)
+        h0_new = (1.0 - z0) * n0 + z0 * h0
+
+        inter = h0_new
+        if train and dropout_rate > 0.0:
+            inter = inter * _dropout_mask(seed, t, inter.shape, dropout_rate)
+
+        gi1 = (
+            jnp.dot(inter, w_ih1_ref[:], preferred_element_type=jnp.float32)
+            + b_ih1_ref[:]
+        )
+        gh1 = (
+            jnp.dot(h1, w_hh1_ref[:], preferred_element_type=jnp.float32)
+            + b_hh1_ref[:]
+        )
+        r1, z1, n1, _ = _gru_gates(gi1, gh1)
+        h1_new = (1.0 - z1) * n1 + z1 * h1
+
+        logits = jnp.maximum(
+            jnp.dot(h1_new, out_w_ref[:], preferred_element_type=jnp.float32)
+            + out_b_ref[:],
+            0.0,
+        )  # (B, V)
+        # argmax via max+iota (jnp.argmax fails this backend's Mosaic
+        # remote-compile); lowest index on ties, matching jnp.argmax
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        sampled = jnp.min(
+            jnp.where(logits == m, iota_v, V), axis=-1
+        ).astype(jnp.int32)
+        tok = jnp.where(teacher, score_ref[t], sampled)  # score is (T, B)
+
+        weights_ref[t] = logits
+        samples_ref[t] = tok
+        h0_all_ref[t] = h0_new
+        h1_all_ref[t] = h1_new
+
+        onehot = (iota_v == tok[:, None]).astype(jnp.float32)
+        prev_emb = jnp.dot(onehot, emb_ref[:],
+                           preferred_element_type=jnp.float32)
+        return h0_new, h1_new, prev_emb
+
+    h_init = jnp.zeros_like(tick_h0_ref[0, 0])
+    jax.lax.fori_loop(0, seq_len, body, (h_init, h_init, x0_ref[:]))
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
+                x0_ref, emb_ref, w_ih0e_ref, w_hh0_ref, b_hh0_ref,
+                w_ih1_ref, b_ih1_ref, w_hh1_ref, b_hh1_ref,
+                out_w_ref, out_b_ref,
+                samples_ref, h0_all_ref, h1_all_ref, dweights_ref,
+                dgi_beat_ref, dtick_h0_ref, dx0_ref, demb_ref, dw_ih0e_ref,
+                dw_hh0_ref, db_hh0_ref, dw_ih1_ref, db_ih1_ref,
+                dw_hh1_ref, db_hh1_ref, dout_w_ref, dout_b_ref, *,
+                seq_len: int, train: bool, dropout_rate: float):
+    B = x0_ref.shape[0]
+    H = h0_all_ref.shape[2]
+    V = emb_ref.shape[0]
+    seed = seed_ref[0]
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+
+    dgi_beat_ref[:] = jnp.zeros_like(dgi_beat_ref)
+    dtick_h0_ref[:] = jnp.zeros_like(dtick_h0_ref)
+    dx0_ref[:] = jnp.zeros_like(dx0_ref)
+    demb_ref[:] = jnp.zeros_like(demb_ref)
+    dw_ih0e_ref[:] = jnp.zeros_like(dw_ih0e_ref)
+    dw_hh0_ref[:] = jnp.zeros_like(dw_hh0_ref)
+    db_hh0_ref[:] = jnp.zeros_like(db_hh0_ref)
+    dw_ih1_ref[:] = jnp.zeros_like(dw_ih1_ref)
+    db_ih1_ref[:] = jnp.zeros_like(db_ih1_ref)
+    dw_hh1_ref[:] = jnp.zeros_like(dw_hh1_ref)
+    db_hh1_ref[:] = jnp.zeros_like(db_hh1_ref)
+    dout_w_ref[:] = jnp.zeros_like(dout_w_ref)
+    dout_b_ref[:] = jnp.zeros_like(dout_b_ref)
+
+    def body(k, carry):
+        dh0_c, dh1_c = carry
+        t = seq_len - 1 - k
+        ib = t // NUM_TICKS_PER_BEAT
+        reset = (t % NUM_TICKS_PER_BEAT) == 0
+
+        # ---- recompute step t forward quantities -----------------------
+        # (the t==0 carry is all-zeros in the fwd pass; t==0 is also a
+        # reset step, so the where(reset, ...) below always overrides)
+        prev0 = h0_all_ref[jnp.maximum(t - 1, 0)]
+        prev1 = h1_all_ref[jnp.maximum(t - 1, 0)]
+        h0_prev = jnp.where(reset, tick_h0_ref[ib, 0], prev0)
+        h1_prev = jnp.where(reset, tick_h0_ref[ib, 1], prev1)
+
+        onehot_prev = (iota_v == samples_ref[jnp.maximum(t - 1, 0)][:, None]
+                       ).astype(jnp.float32)
+        emb_prev = jnp.dot(onehot_prev, emb_ref[:],
+                           preferred_element_type=jnp.float32)
+        prev_emb = jnp.where(t == 0, x0_ref[:], emb_prev)
+
+        gi0 = (
+            jnp.dot(prev_emb, w_ih0e_ref[:],
+                    preferred_element_type=jnp.float32)
+            + gi_beat_ref[ib]
+        )
+        gh0 = (
+            jnp.dot(h0_prev, w_hh0_ref[:], preferred_element_type=jnp.float32)
+            + b_hh0_ref[:]
+        )
+        r0, z0, n0, hn0 = _gru_gates(gi0, gh0)
+        h0_new = h0_all_ref[t]
+
+        if train and dropout_rate > 0.0:
+            mask = _dropout_mask(seed, t, (B, H), dropout_rate)
+        else:
+            mask = None
+        inter = h0_new * mask if mask is not None else h0_new
+
+        gi1 = (
+            jnp.dot(inter, w_ih1_ref[:], preferred_element_type=jnp.float32)
+            + b_ih1_ref[:]
+        )
+        gh1 = (
+            jnp.dot(h1_prev, w_hh1_ref[:], preferred_element_type=jnp.float32)
+            + b_hh1_ref[:]
+        )
+        r1, z1, n1, hn1 = _gru_gates(gi1, gh1)
+        h1_new = h1_all_ref[t]
+
+        pre_out = (
+            jnp.dot(h1_new, out_w_ref[:], preferred_element_type=jnp.float32)
+            + out_b_ref[:]
+        )
+
+        # ---- backward ---------------------------------------------------
+        dlogits = dweights_ref[t] * (pre_out > 0.0).astype(jnp.float32)
+        dout_w_ref[:] += _matT_a_b(h1_new, dlogits)
+        dout_b_ref[:] += jnp.sum(dlogits, axis=0)
+        dh1 = dh1_c + _a_bT(dlogits, out_w_ref[:])
+
+        dgi1, dgh1, dh1_prev = _gru_bwd(dh1, r1, z1, n1, hn1, h1_prev,
+                                        w_hh1_ref[:])
+        dw_ih1_ref[:] += _matT_a_b(inter, dgi1)
+        db_ih1_ref[:] += jnp.sum(dgi1, axis=0)
+        dw_hh1_ref[:] += _matT_a_b(h1_prev, dgh1)
+        db_hh1_ref[:] += jnp.sum(dgh1, axis=0)
+
+        dinter = _a_bT(dgi1, w_ih1_ref[:])
+        dh0 = dh0_c + (dinter * mask if mask is not None else dinter)
+
+        dgi0, dgh0, dh0_prev = _gru_bwd(dh0, r0, z0, n0, hn0, h0_prev,
+                                        w_hh0_ref[:])
+        dw_hh0_ref[:] += _matT_a_b(h0_prev, dgh0)
+        db_hh0_ref[:] += jnp.sum(dgh0, axis=0)
+        dgi_beat_ref[ib] += dgi0
+        dw_ih0e_ref[:] += _matT_a_b(prev_emb, dgi0)
+
+        dprev_emb = _a_bT(dgi0, w_ih0e_ref[:])  # (B, E)
+        zero_e = jnp.zeros_like(dprev_emb)
+        demb_ref[:] += _matT_a_b(
+            onehot_prev, jnp.where(t == 0, zero_e, dprev_emb)
+        )
+        dx0_ref[:] += jnp.where(t == 0, dprev_emb, zero_e)
+
+        # reset boundaries route the hidden grad to the per-beat inits
+        zero_h = jnp.zeros((B, H), jnp.float32)
+        dtick_h0_ref[ib, 0] += jnp.where(reset, dh0_prev, zero_h)
+        dtick_h0_ref[ib, 1] += jnp.where(reset, dh1_prev, zero_h)
+        dh0_c = jnp.where(reset, zero_h, dh0_prev)
+        dh1_c = jnp.where(reset, zero_h, dh1_prev)
+        return dh0_c, dh1_c
+
+    zero = jnp.zeros((B, H), jnp.float32)
+    jax.lax.fori_loop(0, seq_len, body, (zero, zero))
+
+
+# ---------------------------------------------------------------------------
+# Public op
+# ---------------------------------------------------------------------------
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _vmem_spec():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _smem_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def hier_tick_chain(seq_len: int, train: bool, dropout_rate: float,
+                    teacher, seed, score,
+                    gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
+                    w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Fused 24-step tick loop. ``score`` is time-major (T, B).
+    Returns (weights (T,B,V), samples (T,B))."""
+    weights, samples, _, _ = _fwd_call(
+        seq_len, train, dropout_rate, teacher, seed, score, gi_beat,
+        tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1, w_hh1,
+        b_hh1, out_w, out_b,
+    )
+    return weights, samples
+
+
+def _fwd_call(seq_len, train, dropout_rate, teacher, seed, score, gi_beat,
+              tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1,
+              w_hh1, b_hh1, out_w, out_b):
+    B, E = x0.shape
+    H = w_hh0.shape[0]
+    V = emb.shape[0]
+    T = seq_len
+    kernel = functools.partial(
+        _fwd_kernel, seq_len=T, train=train, dropout_rate=dropout_rate
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[_smem_spec(), _smem_spec()] + [_vmem_spec()] * 14,
+        out_specs=(_vmem_spec(),) * 4,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, V), jnp.float32),
+            jax.ShapeDtypeStruct((T, B), jnp.int32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(teacher, jnp.int32).reshape(1),
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
+        w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b,
+    )
+
+
+def _vjp_fwd(seq_len, train, dropout_rate, teacher, seed, score, gi_beat,
+             tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1,
+             w_hh1, b_hh1, out_w, out_b):
+    weights, samples, h0_all, h1_all = _fwd_call(
+        seq_len, train, dropout_rate, teacher, seed, score, gi_beat,
+        tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1, w_hh1,
+        b_hh1, out_w, out_b,
+    )
+    res = (teacher, seed, score, gi_beat, tick_h0, x0, emb, w_ih0e,
+           w_hh0, b_hh0, w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b,
+           samples, h0_all, h1_all)
+    return (weights, samples), res
+
+
+def _vjp_bwd(seq_len, train, dropout_rate, res, cts):
+    (teacher, seed, score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0,
+     b_hh0, w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b,
+     samples, h0_all, h1_all) = res
+    dweights, _ = cts  # samples (int) carry no gradient
+
+    kernel = functools.partial(
+        _bwd_kernel, seq_len=seq_len, train=train, dropout_rate=dropout_rate
+    )
+    shapes = (
+        gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1,
+        w_hh1, b_hh1, out_w, out_b,
+    )
+    grads = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[_smem_spec(), _smem_spec()] + [_vmem_spec()] * 18,
+        out_specs=(_vmem_spec(),) * 13,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in shapes
+        ),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(teacher, jnp.int32).reshape(1),
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
+        w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b,
+        samples, h0_all, h1_all, dweights,
+    )
+    import numpy as np
+
+    f0 = jax.dtypes.float0
+    dteacher = np.zeros(np.shape(teacher), f0)
+    dseed = np.zeros(np.shape(seed), f0)
+    dscore = np.zeros(score.shape, f0)
+    return (dteacher, dseed, dscore) + tuple(grads)
+
+
+hier_tick_chain.defvjp(_vjp_fwd, _vjp_bwd)

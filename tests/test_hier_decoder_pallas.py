@@ -1,0 +1,98 @@
+"""Fused hierarchical-decoder kernel vs the XLA-scan path.
+
+Forced through interpret mode off-TPU (ARVAE_FORCE_GRU_PALLAS); dropout
+is 0 so both paths are bit-comparable (the kernel's dropout uses the
+TPU PRNG, a different stream than jax.random).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arvae_tpu.models.measure_vae import MEASURE_SEQ_LEN, MeasureVAE
+from arvae_tpu.ops.losses import token_cross_entropy_loss
+
+B, H, V = 8, 128, 130
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = MeasureVAE(
+        num_notes=V,
+        encoder_hidden_size=128,
+        decoder_hidden_size=H,
+        latent_space_dim=32,
+        encoder_dropout_prob=0.0,
+        decoder_dropout_prob=0.0,
+    )
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        jnp.zeros((1, MEASURE_SEQ_LEN), jnp.int32), train=True,
+    )["params"]
+    return model, params
+
+
+def _score():
+    rng = np.random.RandomState(3)
+    return jnp.asarray(rng.randint(0, V, (B, MEASURE_SEQ_LEN)), jnp.int32)
+
+
+def _run(model, params, score, key, train, monkeypatch, fused: bool):
+    if fused:
+        monkeypatch.delenv("ARVAE_NO_GRU_PALLAS", raising=False)
+        monkeypatch.setenv("ARVAE_FORCE_GRU_PALLAS", "1")
+    else:
+        monkeypatch.delenv("ARVAE_FORCE_GRU_PALLAS", raising=False)
+        monkeypatch.setenv("ARVAE_NO_GRU_PALLAS", "1")
+    return model.apply({"params": params}, score, train=train, rng_key=key)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_forward_matches_scan(model_and_params, monkeypatch, train):
+    model, params = model_and_params
+    score = _score()
+    key = jax.random.key(7)
+    out_ref = _run(model, params, score, key, train, monkeypatch, fused=False)
+    out_k = _run(model, params, score, key, train, monkeypatch, fused=True)
+    np.testing.assert_array_equal(np.asarray(out_k.samples),
+                                  np.asarray(out_ref.samples))
+    np.testing.assert_allclose(np.asarray(out_k.weights),
+                               np.asarray(out_ref.weights),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("tf_key_seed", [7, 11])
+def test_gradients_match_scan(model_and_params, monkeypatch, tf_key_seed):
+    # two key seeds so both teacher-forced and free-running branches of
+    # the per-batch coin flip are exercised
+    model, params = model_and_params
+    score = _score()
+    key = jax.random.key(tf_key_seed)
+
+    def loss(p, fused):
+        if fused:
+            monkeypatch.delenv("ARVAE_NO_GRU_PALLAS", raising=False)
+            monkeypatch.setenv("ARVAE_FORCE_GRU_PALLAS", "1")
+        else:
+            monkeypatch.delenv("ARVAE_FORCE_GRU_PALLAS", raising=False)
+            monkeypatch.setenv("ARVAE_NO_GRU_PALLAS", "1")
+        out = model.apply({"params": p}, score, train=True, rng_key=key)
+        return (token_cross_entropy_loss(out.weights, score)
+                + jnp.mean(out.z_mean ** 2))
+
+    v_ref, g_ref = jax.value_and_grad(lambda p: loss(p, False))(params)
+    v_k, g_k = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(v_k), float(v_ref), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_k = dict(
+        (jax.tree_util.keystr(kp), leaf)
+        for kp, leaf in jax.tree_util.tree_leaves_with_path(g_k)
+    )
+    for kp, leaf_ref in flat_ref:
+        name = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(
+            np.asarray(flat_k[name]), np.asarray(leaf_ref),
+            rtol=2e-4, atol=1e-6, err_msg=name,
+        )
