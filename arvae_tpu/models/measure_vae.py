@@ -198,6 +198,33 @@ class SRDecoder(nn.Module):
         w_ih0 = self.gru[0]["w_ih"]  # (2E, 3H)
         gi_z = z_emb @ w_ih0[E:] + self.gru[0]["b_ih"]  # (B, 3H)
 
+        from arvae_tpu.ops.hier_decoder_pallas import enabled, hier_tick_chain
+
+        if L == 2 and enabled(B, H, L, self.num_notes, T, sampling):
+            # same fused feedback-loop kernel as the hierarchical
+            # decoder: ticks_per_beat == T means one hidden init (all
+            # zeros) at t=0 and the z conditioning as the single
+            # "beat" row
+            seed = jax.random.randint(
+                jax.random.fold_in(k_drop, 424243), (), 0, 2**31 - 1,
+                dtype=jnp.int32,
+            )
+            tick_h0 = jnp.zeros((1, L, B, H), jnp.float32)
+            weights_t, samples_t = hier_tick_chain(
+                T, bool(train), float(self.dropout) if train else 0.0, T,
+                jnp.asarray(teacher_forced, jnp.int32), seed,
+                jnp.transpose(score).astype(jnp.int32),
+                gi_z[None], tick_h0, x0, self.embedding, w_ih0[:E],
+                self.gru[0]["w_hh"], self.gru[0]["b_hh"],
+                self.gru[1]["w_ih"], self.gru[1]["b_ih"],
+                self.gru[1]["w_hh"], self.gru[1]["b_hh"],
+                self.out_w, self.out_b,
+            )
+            return (
+                jnp.transpose(weights_t, (1, 0, 2)),
+                jnp.transpose(samples_t, (1, 0)),
+            )
+
         def step(carry, t):
             h, prev_emb = carry
             gi0 = prev_emb @ w_ih0[:E] + gi_z
@@ -395,6 +422,7 @@ class HierarchicalDecoder(nn.Module):
             weights_t, samples_t = hier_tick_chain(
                 MEASURE_SEQ_LEN, bool(train),
                 float(self.dropout) if train else 0.0,
+                NUM_TICKS_PER_BEAT,
                 jnp.asarray(teacher_forced, jnp.int32), seed,
                 jnp.transpose(score).astype(jnp.int32),
                 gi_beat, tick_h0, x0, self.embedding, w_ih0[:E],

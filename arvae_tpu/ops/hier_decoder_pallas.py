@@ -129,7 +129,8 @@ def _fwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
                 w_ih1_ref, b_ih1_ref, w_hh1_ref, b_hh1_ref,
                 out_w_ref, out_b_ref,
                 weights_ref, samples_ref, h0_all_ref, h1_all_ref, *,
-                seq_len: int, train: bool, dropout_rate: float):
+                seq_len: int, train: bool, dropout_rate: float,
+                ticks_per_beat: int):
     B = x0_ref.shape[0]
     V = emb_ref.shape[0]
     teacher = teacher_ref[0] != 0
@@ -138,8 +139,8 @@ def _fwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
 
     def body(t, carry):
         h0, h1, prev_emb = carry
-        ib = t // NUM_TICKS_PER_BEAT
-        reset = (t % NUM_TICKS_PER_BEAT) == 0
+        ib = t // ticks_per_beat
+        reset = (t % ticks_per_beat) == 0
         h0 = jnp.where(reset, tick_h0_ref[ib, 0], h0)
         h1 = jnp.where(reset, tick_h0_ref[ib, 1], h1)
 
@@ -210,7 +211,8 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
                 dgi_beat_ref, dtick_h0_ref, dx0_ref, demb_ref, dw_ih0e_ref,
                 dw_hh0_ref, db_hh0_ref, dw_ih1_ref, db_ih1_ref,
                 dw_hh1_ref, db_hh1_ref, dout_w_ref, dout_b_ref, *,
-                seq_len: int, train: bool, dropout_rate: float):
+                seq_len: int, train: bool, dropout_rate: float,
+                ticks_per_beat: int):
     B = x0_ref.shape[0]
     H = h0_all_ref.shape[2]
     V = emb_ref.shape[0]
@@ -234,8 +236,8 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
     def body(k, carry):
         dh0_c, dh1_c = carry
         t = seq_len - 1 - k
-        ib = t // NUM_TICKS_PER_BEAT
-        reset = (t % NUM_TICKS_PER_BEAT) == 0
+        ib = t // ticks_per_beat
+        reset = (t % ticks_per_beat) == 0
 
         # ---- recompute step t forward quantities -----------------------
         # (the t==0 carry is all-zeros in the fwd pass; t==0 is also a
@@ -344,8 +346,9 @@ def _smem_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def hier_tick_chain(seq_len: int, train: bool, dropout_rate: float,
+                    ticks_per_beat: int,
                     teacher, seed, score,
                     gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
                     w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b
@@ -353,14 +356,14 @@ def hier_tick_chain(seq_len: int, train: bool, dropout_rate: float,
     """Fused 24-step tick loop. ``score`` is time-major (T, B).
     Returns (weights (T,B,V), samples (T,B))."""
     weights, samples, _, _ = _fwd_call(
-        seq_len, train, dropout_rate, teacher, seed, score, gi_beat,
+        seq_len, train, dropout_rate, ticks_per_beat, teacher, seed, score, gi_beat,
         tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1, w_hh1,
         b_hh1, out_w, out_b,
     )
     return weights, samples
 
 
-def _fwd_call(seq_len, train, dropout_rate, teacher, seed, score, gi_beat,
+def _fwd_call(seq_len, train, dropout_rate, ticks_per_beat, teacher, seed, score, gi_beat,
               tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1,
               w_hh1, b_hh1, out_w, out_b):
     B, E = x0.shape
@@ -368,7 +371,8 @@ def _fwd_call(seq_len, train, dropout_rate, teacher, seed, score, gi_beat,
     V = emb.shape[0]
     T = seq_len
     kernel = functools.partial(
-        _fwd_kernel, seq_len=T, train=train, dropout_rate=dropout_rate
+        _fwd_kernel, seq_len=T, train=train, dropout_rate=dropout_rate,
+        ticks_per_beat=ticks_per_beat,
     )
     return pl.pallas_call(
         kernel,
@@ -390,11 +394,11 @@ def _fwd_call(seq_len, train, dropout_rate, teacher, seed, score, gi_beat,
     )
 
 
-def _vjp_fwd(seq_len, train, dropout_rate, teacher, seed, score, gi_beat,
+def _vjp_fwd(seq_len, train, dropout_rate, ticks_per_beat, teacher, seed, score, gi_beat,
              tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1,
              w_hh1, b_hh1, out_w, out_b):
     weights, samples, h0_all, h1_all = _fwd_call(
-        seq_len, train, dropout_rate, teacher, seed, score, gi_beat,
+        seq_len, train, dropout_rate, ticks_per_beat, teacher, seed, score, gi_beat,
         tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1, w_hh1,
         b_hh1, out_w, out_b,
     )
@@ -404,14 +408,15 @@ def _vjp_fwd(seq_len, train, dropout_rate, teacher, seed, score, gi_beat,
     return (weights, samples), res
 
 
-def _vjp_bwd(seq_len, train, dropout_rate, res, cts):
+def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, res, cts):
     (teacher, seed, score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0,
      b_hh0, w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b,
      samples, h0_all, h1_all) = res
     dweights, _ = cts  # samples (int) carry no gradient
 
     kernel = functools.partial(
-        _bwd_kernel, seq_len=seq_len, train=train, dropout_rate=dropout_rate
+        _bwd_kernel, seq_len=seq_len, train=train, dropout_rate=dropout_rate,
+        ticks_per_beat=ticks_per_beat,
     )
     shapes = (
         gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1,

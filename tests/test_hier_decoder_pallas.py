@@ -96,3 +96,71 @@ def test_gradients_match_scan(model_and_params, monkeypatch, tf_key_seed):
             np.asarray(flat_k[name]), np.asarray(leaf_ref),
             rtol=2e-4, atol=1e-6, err_msg=name,
         )
+
+
+class TestSRDecoderFused:
+    """The same kernel drives SRDecoder (ticks_per_beat == T, zero
+    hidden init, z-conditioning as the single beat row)."""
+
+    @pytest.fixture(scope="class")
+    def sr_model_and_params(self):
+        model = MeasureVAE(
+            num_notes=V,
+            encoder_hidden_size=128,
+            decoder_hidden_size=H,
+            latent_space_dim=32,
+            encoder_dropout_prob=0.0,
+            decoder_dropout_prob=0.0,
+            decoder_type="sr",
+        )
+        params = model.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            jnp.zeros((1, MEASURE_SEQ_LEN), jnp.int32), train=True,
+        )["params"]
+        return model, params
+
+    @pytest.mark.parametrize("train", [False, True])
+    def test_forward_matches_scan(self, sr_model_and_params, monkeypatch,
+                                  train):
+        model, params = sr_model_and_params
+        score = _score()
+        key = jax.random.key(5)
+        out_ref = _run(model, params, score, key, train, monkeypatch,
+                       fused=False)
+        out_k = _run(model, params, score, key, train, monkeypatch,
+                     fused=True)
+        np.testing.assert_array_equal(np.asarray(out_k.samples),
+                                      np.asarray(out_ref.samples))
+        np.testing.assert_allclose(np.asarray(out_k.weights),
+                                   np.asarray(out_ref.weights),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match_scan(self, sr_model_and_params, monkeypatch):
+        model, params = sr_model_and_params
+        score = _score()
+        key = jax.random.key(5)
+
+        def loss(p, fused):
+            if fused:
+                monkeypatch.delenv("ARVAE_NO_GRU_PALLAS", raising=False)
+                monkeypatch.setenv("ARVAE_FORCE_GRU_PALLAS", "1")
+            else:
+                monkeypatch.delenv("ARVAE_FORCE_GRU_PALLAS", raising=False)
+                monkeypatch.setenv("ARVAE_NO_GRU_PALLAS", "1")
+            out = model.apply({"params": p}, score, train=True, rng_key=key)
+            return (token_cross_entropy_loss(out.weights, score)
+                    + jnp.mean(out.z_mean ** 2))
+
+        v_ref, g_ref = jax.value_and_grad(lambda p: loss(p, False))(params)
+        v_k, g_k = jax.value_and_grad(lambda p: loss(p, True))(params)
+        np.testing.assert_allclose(float(v_k), float(v_ref), rtol=1e-5)
+        ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        kk = dict((jax.tree_util.keystr(kp), leaf)
+                  for kp, leaf in jax.tree_util.tree_leaves_with_path(g_k))
+        for kp, leaf_ref in ref:
+            name = jax.tree_util.keystr(kp)
+            np.testing.assert_allclose(
+                np.asarray(kk[name]), np.asarray(leaf_ref),
+                rtol=2e-4, atol=1e-6, err_msg=name,
+            )
