@@ -164,3 +164,37 @@ class TestSRDecoderFused:
                 np.asarray(kk[name]), np.asarray(leaf_ref),
                 rtol=2e-4, atol=1e-6, err_msg=name,
             )
+
+
+def test_fused_kernels_under_data_parallel_sharding(model_and_params,
+                                                    monkeypatch):
+    """The fused recurrence kernels must compose with GSPMD: a batch
+    sharded over the 8-device data axis gives the same loss/grads as the
+    single-device computation (XLA partitions the pallas custom-calls)."""
+    from arvae_tpu.parallel import create_mesh, shard_batch
+
+    model, params = model_and_params
+    score = _score()  # B=8 → one row per device
+    key = jax.random.key(13)
+    monkeypatch.delenv("ARVAE_NO_GRU_PALLAS", raising=False)
+    monkeypatch.setenv("ARVAE_FORCE_GRU_PALLAS", "1")
+
+    def loss(p, s):
+        out = model.apply({"params": p}, s, train=True, rng_key=key)
+        return (token_cross_entropy_loss(out.weights, s)
+                + jnp.mean(out.z_mean ** 2))
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    v1, g1 = vg(params, score)
+
+    ctx = create_mesh()
+    p_r = jax.device_put(params, ctx.replicated)
+    s_s = shard_batch(ctx, np.asarray(score))
+    v8, g8 = vg(p_r, s_s)
+
+    np.testing.assert_allclose(float(v8), float(v1), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7),
+        g8, g1,
+    )
