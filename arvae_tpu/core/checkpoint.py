@@ -39,4 +39,16 @@ class Checkpointer:
     def restore(self, template: Optional[Any] = None) -> Any:
         if template is not None:
             template = jax.tree_util.tree_map(np.asarray, jax.device_get(template))
-        return self._ckptr.restore(self.path, template)
+        try:
+            return self._ckptr.restore(self.path, template)
+        except BaseException:
+            if template is None or not hasattr(template, "hyper") \
+                    or template.hyper is None:
+                raise
+            # Checkpoints written before TrainState grew the `hyper`
+            # field restore against a hyper-less template; the caller's
+            # template values (derived from the trainer's hparams) fill
+            # the gap.
+            old = template.replace(hyper=None)
+            restored = self._ckptr.restore(self.path, old)
+            return restored.replace(hyper=template.hyper)
