@@ -16,7 +16,6 @@ a sharding constraint after the gather.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

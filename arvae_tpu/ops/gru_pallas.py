@@ -38,7 +38,6 @@ callers fall back to the XLA scan for shapes the TPU tiling cannot take
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

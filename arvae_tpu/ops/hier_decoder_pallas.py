@@ -1,13 +1,18 @@
-"""Fused Pallas kernel for the hierarchical tick decoder's feedback loop.
+"""Fused Pallas kernel for the sampled-feedback tick-decoder loop.
 
-The reference's hottest loop (``measurevae/decoder.py:469-525``) — 24
+The reference's hottest loop (``measurevae/decoder.py:469-525``) — T=24
 sequential steps of [2-layer tick GRU → ReLU head → argmax → re-embed
-own sample] — runs here as ONE ``pallas_call``: every operand (GRU
-weights, embedding table, output head, per-beat hidden inits, the
-token feedback) lives in VMEM for the whole measure, and the time loop
-is an in-kernel ``fori_loop``, so the chain pays zero per-step dispatch
-or fusion-region overhead. The embedding lookup of the sampled token is
-a one-hot (B,V)@(V,E) matmul — an MXU gather.
+own sample], with per-beat hidden resets — runs here as ONE
+``pallas_call``: the grid is the time axis, every weight (GRU stacks,
+embedding table, output head, per-beat inits) stays pinned in VMEM for
+the whole measure, the recurrent state (hidden states + fed-token
+embedding) is carried across grid steps in VMEM scratch, and the
+per-step tensors (logits, samples, saved hiddens) stream block by
+block — so VMEM usage is O(B·(V+H)) independent of T, and batch sizes
+into the thousands stay fused. The embedding lookup of the sampled
+token is a one-hot (B,V)@(V,E) matmul — an MXU gather; argmax is
+max+iota-min (``jnp.argmax`` fails this backend's Mosaic remote
+compile).
 
 Semantics match the XLA-scan path in models/measure_vae.py exactly for
 ``sampling='argmax'`` with dropout off; with dropout on, masks come
@@ -15,16 +20,20 @@ from the TPU PRNG (seeded per step, replayed bit-exactly in the
 backward) — a different stream than ``jax.random`` but the same
 distribution.
 
-Backward is a custom VJP walking the 24 steps in reverse inside one
-kernel: gate activations, dropout masks, and the ReLU mask are
-recomputed from the saved per-step hidden states; gradients accumulate
-in VMEM for all 13 differentiable operands. Feedback tokens carry no
-gradient (``stop_gradient`` on the sampled indices, matching the
-reference's ``.detach()``), but the embedding table does, through the
-one-hot matmuls.
+Backward is a custom VJP walking the grid in reverse (time index map
+``T-1-k``): gate activations, dropout masks, and the ReLU mask are
+recomputed from the streamed saved hidden states; gradients for all 13
+differentiable operands accumulate in VMEM scratch and are written out
+on the final grid step, with reset boundaries routing hidden grads to
+the per-beat inits. Feedback tokens carry no gradient
+(``stop_gradient`` on the sampled indices, matching the reference's
+``.detach()``), but the embedding table does, through the one-hot
+matmuls.
 
 Layer count is fixed at 2 (the reference default); callers fall back to
-the XLA scan otherwise, off-TPU, or for multinomial sampling.
+the XLA scan otherwise, off-TPU, or for multinomial sampling. The same
+kernel drives ``SRDecoder`` with ``ticks_per_beat == T`` (one all-zero
+init at t=0, the z conditioning as the single "beat" row).
 """
 
 from __future__ import annotations
@@ -48,9 +57,11 @@ def supports(batch: int, hidden: int, num_layers: int, num_notes: int,
         return False
     if hidden % 128 != 0 or batch % 8 != 0:
         return False
-    # saved hiddens (2 T B H) + logit cotangents (T B V) + operands
-    vmem = 4 * (2 * seq_len * batch * hidden + seq_len * batch * num_notes)
-    return vmem < 10 * 1024 * 1024
+    # Per-step VMEM residents, independent of seq_len: a few (B,V)
+    # logit blocks + (B,H) states/carries + the beat-scaled grad
+    # accumulators (dgi_beat 12H + dtick 8H floats per row at 4 beats).
+    vmem = 4 * batch * (4 * num_notes + 34 * hidden)
+    return vmem < 12 * 1024 * 1024
 
 
 def enabled(batch: int, hidden: int, num_layers: int, num_notes: int,
@@ -120,7 +131,7 @@ def _a_bT(a, b):
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel
+# Forward
 # ---------------------------------------------------------------------------
 
 
@@ -128,78 +139,80 @@ def _fwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
                 x0_ref, emb_ref, w_ih0e_ref, w_hh0_ref, b_hh0_ref,
                 w_ih1_ref, b_ih1_ref, w_hh1_ref, b_hh1_ref,
                 out_w_ref, out_b_ref,
-                weights_ref, samples_ref, h0_all_ref, h1_all_ref, *,
-                seq_len: int, train: bool, dropout_rate: float,
-                ticks_per_beat: int):
+                weights_ref, samples_ref, h0_all_ref, h1_all_ref,
+                h0_scr, h1_scr, emb_scr, *,
+                train: bool, dropout_rate: float, ticks_per_beat: int):
+    t = pl.program_id(0)
     B = x0_ref.shape[0]
     V = emb_ref.shape[0]
     teacher = teacher_ref[0] != 0
     seed = seed_ref[0]
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
 
-    def body(t, carry):
-        h0, h1, prev_emb = carry
-        ib = t // ticks_per_beat
-        reset = (t % ticks_per_beat) == 0
-        h0 = jnp.where(reset, tick_h0_ref[ib, 0], h0)
-        h1 = jnp.where(reset, tick_h0_ref[ib, 1], h1)
+    @pl.when(t == 0)
+    def _():
+        emb_scr[:] = x0_ref[:]
 
-        gi0 = (
-            jnp.dot(prev_emb, w_ih0e_ref[:],
-                    preferred_element_type=jnp.float32)
-            + gi_beat_ref[ib]
-        )
-        gh0 = (
-            jnp.dot(h0, w_hh0_ref[:], preferred_element_type=jnp.float32)
-            + b_hh0_ref[:]
-        )
-        r0, z0, n0, _ = _gru_gates(gi0, gh0)
-        h0_new = (1.0 - z0) * n0 + z0 * h0
+    ib = t // ticks_per_beat
+    reset = (t % ticks_per_beat) == 0
+    # t == 0 is always a reset step, so the scratch hiddens never leak
+    # uninitialized state
+    h0 = jnp.where(reset, tick_h0_ref[ib, 0], h0_scr[:])
+    h1 = jnp.where(reset, tick_h0_ref[ib, 1], h1_scr[:])
+    prev_emb = emb_scr[:]
 
-        inter = h0_new
-        if train and dropout_rate > 0.0:
-            inter = inter * _dropout_mask(seed, t, inter.shape, dropout_rate)
+    gi0 = (
+        jnp.dot(prev_emb, w_ih0e_ref[:], preferred_element_type=jnp.float32)
+        + gi_beat_ref[ib]
+    )
+    gh0 = (
+        jnp.dot(h0, w_hh0_ref[:], preferred_element_type=jnp.float32)
+        + b_hh0_ref[:]
+    )
+    r0, z0, n0, _ = _gru_gates(gi0, gh0)
+    h0_new = (1.0 - z0) * n0 + z0 * h0
 
-        gi1 = (
-            jnp.dot(inter, w_ih1_ref[:], preferred_element_type=jnp.float32)
-            + b_ih1_ref[:]
-        )
-        gh1 = (
-            jnp.dot(h1, w_hh1_ref[:], preferred_element_type=jnp.float32)
-            + b_hh1_ref[:]
-        )
-        r1, z1, n1, _ = _gru_gates(gi1, gh1)
-        h1_new = (1.0 - z1) * n1 + z1 * h1
+    inter = h0_new
+    if train and dropout_rate > 0.0:
+        inter = inter * _dropout_mask(seed, t, inter.shape, dropout_rate)
 
-        logits = jnp.maximum(
-            jnp.dot(h1_new, out_w_ref[:], preferred_element_type=jnp.float32)
-            + out_b_ref[:],
-            0.0,
-        )  # (B, V)
-        # argmax via max+iota (jnp.argmax fails this backend's Mosaic
-        # remote-compile); lowest index on ties, matching jnp.argmax
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        sampled = jnp.min(
-            jnp.where(logits == m, iota_v, V), axis=-1
-        ).astype(jnp.int32)
-        tok = jnp.where(teacher, score_ref[t], sampled)  # score is (T, B)
+    gi1 = (
+        jnp.dot(inter, w_ih1_ref[:], preferred_element_type=jnp.float32)
+        + b_ih1_ref[:]
+    )
+    gh1 = (
+        jnp.dot(h1, w_hh1_ref[:], preferred_element_type=jnp.float32)
+        + b_hh1_ref[:]
+    )
+    r1, z1, n1, _ = _gru_gates(gi1, gh1)
+    h1_new = (1.0 - z1) * n1 + z1 * h1
 
-        weights_ref[t] = logits
-        samples_ref[t] = tok
-        h0_all_ref[t] = h0_new
-        h1_all_ref[t] = h1_new
+    logits = jnp.maximum(
+        jnp.dot(h1_new, out_w_ref[:], preferred_element_type=jnp.float32)
+        + out_b_ref[:],
+        0.0,
+    )  # (B, V)
+    # argmax via max+iota: lowest index on ties, matching jnp.argmax
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    sampled = jnp.min(
+        jnp.where(logits == m, iota_v, V), axis=-1
+    ).astype(jnp.int32)
+    tok = jnp.where(teacher, score_ref[0, 0], sampled)
 
-        onehot = (iota_v == tok[:, None]).astype(jnp.float32)
-        prev_emb = jnp.dot(onehot, emb_ref[:],
-                           preferred_element_type=jnp.float32)
-        return h0_new, h1_new, prev_emb
+    weights_ref[0] = logits
+    samples_ref[0, 0] = tok
+    h0_all_ref[0] = h0_new
+    h1_all_ref[0] = h1_new
 
-    h_init = jnp.zeros_like(tick_h0_ref[0, 0])
-    jax.lax.fori_loop(0, seq_len, body, (h_init, h_init, x0_ref[:]))
+    onehot = (iota_v == tok[:, None]).astype(jnp.float32)
+    h0_scr[:] = h0_new
+    h1_scr[:] = h1_new
+    emb_scr[:] = jnp.dot(onehot, emb_ref[:],
+                         preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
-# Backward kernel
+# Backward
 # ---------------------------------------------------------------------------
 
 
@@ -207,130 +220,147 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
                 x0_ref, emb_ref, w_ih0e_ref, w_hh0_ref, b_hh0_ref,
                 w_ih1_ref, b_ih1_ref, w_hh1_ref, b_hh1_ref,
                 out_w_ref, out_b_ref,
-                samples_ref, h0_all_ref, h1_all_ref, dweights_ref,
+                samples_prev_ref, h0_t_ref, h0_tm1_ref, h1_t_ref,
+                h1_tm1_ref, dweights_ref,
                 dgi_beat_ref, dtick_h0_ref, dx0_ref, demb_ref, dw_ih0e_ref,
                 dw_hh0_ref, db_hh0_ref, dw_ih1_ref, db_ih1_ref,
-                dw_hh1_ref, db_hh1_ref, dout_w_ref, dout_b_ref, *,
-                seq_len: int, train: bool, dropout_rate: float,
-                ticks_per_beat: int):
+                dw_hh1_ref, db_hh1_ref, dout_w_ref, dout_b_ref,
+                dh0_scr, dh1_scr, dgi_beat_scr, dtick_scr, dx0_scr,
+                demb_scr, dw_ih0e_scr, dw_hh0_scr, db_hh0_scr, dw_ih1_scr,
+                db_ih1_scr, dw_hh1_scr, db_hh1_scr, dout_w_scr,
+                dout_b_scr, *,
+                train: bool, dropout_rate: float, ticks_per_beat: int):
+    k = pl.program_id(0)
+    T = pl.num_programs(0)
+    t = T - 1 - k
     B = x0_ref.shape[0]
-    H = h0_all_ref.shape[2]
+    H = h0_t_ref.shape[2]
     V = emb_ref.shape[0]
     seed = seed_ref[0]
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
 
-    dgi_beat_ref[:] = jnp.zeros_like(dgi_beat_ref)
-    dtick_h0_ref[:] = jnp.zeros_like(dtick_h0_ref)
-    dx0_ref[:] = jnp.zeros_like(dx0_ref)
-    demb_ref[:] = jnp.zeros_like(demb_ref)
-    dw_ih0e_ref[:] = jnp.zeros_like(dw_ih0e_ref)
-    dw_hh0_ref[:] = jnp.zeros_like(dw_hh0_ref)
-    db_hh0_ref[:] = jnp.zeros_like(db_hh0_ref)
-    dw_ih1_ref[:] = jnp.zeros_like(dw_ih1_ref)
-    db_ih1_ref[:] = jnp.zeros_like(db_ih1_ref)
-    dw_hh1_ref[:] = jnp.zeros_like(dw_hh1_ref)
-    db_hh1_ref[:] = jnp.zeros_like(db_hh1_ref)
-    dout_w_ref[:] = jnp.zeros_like(dout_w_ref)
-    dout_b_ref[:] = jnp.zeros_like(dout_b_ref)
+    @pl.when(k == 0)
+    def _():
+        dh0_scr[:] = jnp.zeros_like(dh0_scr)
+        dh1_scr[:] = jnp.zeros_like(dh1_scr)
+        dgi_beat_scr[:] = jnp.zeros_like(dgi_beat_scr)
+        dtick_scr[:] = jnp.zeros_like(dtick_scr)
+        dx0_scr[:] = jnp.zeros_like(dx0_scr)
+        demb_scr[:] = jnp.zeros_like(demb_scr)
+        dw_ih0e_scr[:] = jnp.zeros_like(dw_ih0e_scr)
+        dw_hh0_scr[:] = jnp.zeros_like(dw_hh0_scr)
+        db_hh0_scr[:] = jnp.zeros_like(db_hh0_scr)
+        dw_ih1_scr[:] = jnp.zeros_like(dw_ih1_scr)
+        db_ih1_scr[:] = jnp.zeros_like(db_ih1_scr)
+        dw_hh1_scr[:] = jnp.zeros_like(dw_hh1_scr)
+        db_hh1_scr[:] = jnp.zeros_like(db_hh1_scr)
+        dout_w_scr[:] = jnp.zeros_like(dout_w_scr)
+        dout_b_scr[:] = jnp.zeros_like(dout_b_scr)
 
-    def body(k, carry):
-        dh0_c, dh1_c = carry
-        t = seq_len - 1 - k
-        ib = t // ticks_per_beat
-        reset = (t % ticks_per_beat) == 0
+    ib = t // ticks_per_beat
+    reset = (t % ticks_per_beat) == 0
 
-        # ---- recompute step t forward quantities -----------------------
-        # (the t==0 carry is all-zeros in the fwd pass; t==0 is also a
-        # reset step, so the where(reset, ...) below always overrides)
-        prev0 = h0_all_ref[jnp.maximum(t - 1, 0)]
-        prev1 = h1_all_ref[jnp.maximum(t - 1, 0)]
-        h0_prev = jnp.where(reset, tick_h0_ref[ib, 0], prev0)
-        h1_prev = jnp.where(reset, tick_h0_ref[ib, 1], prev1)
+    # ---- recompute the step-t forward quantities ------------------------
+    # (h*_tm1 blocks are index-clamped to row 0 at t==0, where reset
+    # overrides them anyway)
+    h0_prev = jnp.where(reset, tick_h0_ref[ib, 0], h0_tm1_ref[0])
+    h1_prev = jnp.where(reset, tick_h0_ref[ib, 1], h1_tm1_ref[0])
 
-        onehot_prev = (iota_v == samples_ref[jnp.maximum(t - 1, 0)][:, None]
-                       ).astype(jnp.float32)
-        emb_prev = jnp.dot(onehot_prev, emb_ref[:],
-                           preferred_element_type=jnp.float32)
-        prev_emb = jnp.where(t == 0, x0_ref[:], emb_prev)
+    onehot_prev = (iota_v == samples_prev_ref[0, 0][:, None]
+                   ).astype(jnp.float32)
+    emb_prev = jnp.dot(onehot_prev, emb_ref[:],
+                       preferred_element_type=jnp.float32)
+    prev_emb = jnp.where(t == 0, x0_ref[:], emb_prev)
 
-        gi0 = (
-            jnp.dot(prev_emb, w_ih0e_ref[:],
-                    preferred_element_type=jnp.float32)
-            + gi_beat_ref[ib]
-        )
-        gh0 = (
-            jnp.dot(h0_prev, w_hh0_ref[:], preferred_element_type=jnp.float32)
-            + b_hh0_ref[:]
-        )
-        r0, z0, n0, hn0 = _gru_gates(gi0, gh0)
-        h0_new = h0_all_ref[t]
+    gi0 = (
+        jnp.dot(prev_emb, w_ih0e_ref[:], preferred_element_type=jnp.float32)
+        + gi_beat_ref[ib]
+    )
+    gh0 = (
+        jnp.dot(h0_prev, w_hh0_ref[:], preferred_element_type=jnp.float32)
+        + b_hh0_ref[:]
+    )
+    r0, z0, n0, hn0 = _gru_gates(gi0, gh0)
+    h0_new = h0_t_ref[0]
 
-        if train and dropout_rate > 0.0:
-            mask = _dropout_mask(seed, t, (B, H), dropout_rate)
-        else:
-            mask = None
-        inter = h0_new * mask if mask is not None else h0_new
+    if train and dropout_rate > 0.0:
+        mask = _dropout_mask(seed, t, (B, H), dropout_rate)
+    else:
+        mask = None
+    inter = h0_new * mask if mask is not None else h0_new
 
-        gi1 = (
-            jnp.dot(inter, w_ih1_ref[:], preferred_element_type=jnp.float32)
-            + b_ih1_ref[:]
-        )
-        gh1 = (
-            jnp.dot(h1_prev, w_hh1_ref[:], preferred_element_type=jnp.float32)
-            + b_hh1_ref[:]
-        )
-        r1, z1, n1, hn1 = _gru_gates(gi1, gh1)
-        h1_new = h1_all_ref[t]
+    gi1 = (
+        jnp.dot(inter, w_ih1_ref[:], preferred_element_type=jnp.float32)
+        + b_ih1_ref[:]
+    )
+    gh1 = (
+        jnp.dot(h1_prev, w_hh1_ref[:], preferred_element_type=jnp.float32)
+        + b_hh1_ref[:]
+    )
+    r1, z1, n1, hn1 = _gru_gates(gi1, gh1)
+    h1_new = h1_t_ref[0]
 
-        pre_out = (
-            jnp.dot(h1_new, out_w_ref[:], preferred_element_type=jnp.float32)
-            + out_b_ref[:]
-        )
+    pre_out = (
+        jnp.dot(h1_new, out_w_ref[:], preferred_element_type=jnp.float32)
+        + out_b_ref[:]
+    )
 
-        # ---- backward ---------------------------------------------------
-        dlogits = dweights_ref[t] * (pre_out > 0.0).astype(jnp.float32)
-        dout_w_ref[:] += _matT_a_b(h1_new, dlogits)
-        dout_b_ref[:] += jnp.sum(dlogits, axis=0)
-        dh1 = dh1_c + _a_bT(dlogits, out_w_ref[:])
+    # ---- backward --------------------------------------------------------
+    dlogits = dweights_ref[0] * (pre_out > 0.0).astype(jnp.float32)
+    dout_w_scr[:] += _matT_a_b(h1_new, dlogits)
+    dout_b_scr[:] += jnp.sum(dlogits, axis=0)
+    dh1 = dh1_scr[:] + _a_bT(dlogits, out_w_ref[:])
 
-        dgi1, dgh1, dh1_prev = _gru_bwd(dh1, r1, z1, n1, hn1, h1_prev,
-                                        w_hh1_ref[:])
-        dw_ih1_ref[:] += _matT_a_b(inter, dgi1)
-        db_ih1_ref[:] += jnp.sum(dgi1, axis=0)
-        dw_hh1_ref[:] += _matT_a_b(h1_prev, dgh1)
-        db_hh1_ref[:] += jnp.sum(dgh1, axis=0)
+    dgi1, dgh1, dh1_prev = _gru_bwd(dh1, r1, z1, n1, hn1, h1_prev,
+                                    w_hh1_ref[:])
+    dw_ih1_scr[:] += _matT_a_b(inter, dgi1)
+    db_ih1_scr[:] += jnp.sum(dgi1, axis=0)
+    dw_hh1_scr[:] += _matT_a_b(h1_prev, dgh1)
+    db_hh1_scr[:] += jnp.sum(dgh1, axis=0)
 
-        dinter = _a_bT(dgi1, w_ih1_ref[:])
-        dh0 = dh0_c + (dinter * mask if mask is not None else dinter)
+    dinter = _a_bT(dgi1, w_ih1_ref[:])
+    dh0 = dh0_scr[:] + (dinter * mask if mask is not None else dinter)
 
-        dgi0, dgh0, dh0_prev = _gru_bwd(dh0, r0, z0, n0, hn0, h0_prev,
-                                        w_hh0_ref[:])
-        dw_hh0_ref[:] += _matT_a_b(h0_prev, dgh0)
-        db_hh0_ref[:] += jnp.sum(dgh0, axis=0)
-        dgi_beat_ref[ib] += dgi0
-        dw_ih0e_ref[:] += _matT_a_b(prev_emb, dgi0)
+    dgi0, dgh0, dh0_prev = _gru_bwd(dh0, r0, z0, n0, hn0, h0_prev,
+                                    w_hh0_ref[:])
+    dw_hh0_scr[:] += _matT_a_b(h0_prev, dgh0)
+    db_hh0_scr[:] += jnp.sum(dgh0, axis=0)
+    dgi_beat_scr[ib] += dgi0
+    dw_ih0e_scr[:] += _matT_a_b(prev_emb, dgi0)
 
-        dprev_emb = _a_bT(dgi0, w_ih0e_ref[:])  # (B, E)
-        zero_e = jnp.zeros_like(dprev_emb)
-        demb_ref[:] += _matT_a_b(
-            onehot_prev, jnp.where(t == 0, zero_e, dprev_emb)
-        )
-        dx0_ref[:] += jnp.where(t == 0, dprev_emb, zero_e)
+    dprev_emb = _a_bT(dgi0, w_ih0e_ref[:])  # (B, E)
+    zero_e = jnp.zeros_like(dprev_emb)
+    demb_scr[:] += _matT_a_b(
+        onehot_prev, jnp.where(t == 0, zero_e, dprev_emb)
+    )
+    dx0_scr[:] += jnp.where(t == 0, dprev_emb, zero_e)
 
-        # reset boundaries route the hidden grad to the per-beat inits
-        zero_h = jnp.zeros((B, H), jnp.float32)
-        dtick_h0_ref[ib, 0] += jnp.where(reset, dh0_prev, zero_h)
-        dtick_h0_ref[ib, 1] += jnp.where(reset, dh1_prev, zero_h)
-        dh0_c = jnp.where(reset, zero_h, dh0_prev)
-        dh1_c = jnp.where(reset, zero_h, dh1_prev)
-        return dh0_c, dh1_c
+    # reset boundaries route the hidden grad to the per-beat inits
+    zero_h = jnp.zeros((B, H), jnp.float32)
+    dtick_scr[ib, 0] += jnp.where(reset, dh0_prev, zero_h)
+    dtick_scr[ib, 1] += jnp.where(reset, dh1_prev, zero_h)
+    dh0_scr[:] = jnp.where(reset, zero_h, dh0_prev)
+    dh1_scr[:] = jnp.where(reset, zero_h, dh1_prev)
 
-    zero = jnp.zeros((B, H), jnp.float32)
-    jax.lax.fori_loop(0, seq_len, body, (zero, zero))
+    @pl.when(k == T - 1)
+    def _():
+        dgi_beat_ref[:] = dgi_beat_scr[:]
+        dtick_h0_ref[:] = dtick_scr[:]
+        dx0_ref[:] = dx0_scr[:]
+        demb_ref[:] = demb_scr[:]
+        dw_ih0e_ref[:] = dw_ih0e_scr[:]
+        dw_hh0_ref[:] = dw_hh0_scr[:]
+        db_hh0_ref[:] = db_hh0_scr[:]
+        dw_ih1_ref[:] = dw_ih1_scr[:]
+        db_ih1_ref[:] = db_ih1_scr[:]
+        dw_hh1_ref[:] = dw_hh1_scr[:]
+        db_hh1_ref[:] = db_hh1_scr[:]
+        dout_w_ref[:] = dout_w_scr[:]
+        dout_b_ref[:] = dout_b_scr[:]
 
 
 # ---------------------------------------------------------------------------
-# Public op
+# Public op with custom VJP
 # ---------------------------------------------------------------------------
 
 
@@ -338,12 +368,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _vmem_spec():
-    return pl.BlockSpec(memory_space=pltpu.VMEM)
-
-
-def _smem_spec():
-    return pl.BlockSpec(memory_space=pltpu.SMEM)
+def _full(spec_shape=None):
+    if spec_shape is None:
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.BlockSpec(spec_shape, lambda *_: (0,) * len(spec_shape),
+                        memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -353,54 +382,73 @@ def hier_tick_chain(seq_len: int, train: bool, dropout_rate: float,
                     gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
                     w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b
                     ) -> Tuple[jax.Array, jax.Array]:
-    """Fused 24-step tick loop. ``score`` is time-major (T, B).
-    Returns (weights (T,B,V), samples (T,B))."""
+    """Fused T-step tick loop. ``score`` is time-major (T, B).
+    Returns (weights (T,B,V) relu logits, samples (T,B) fed tokens)."""
     weights, samples, _, _ = _fwd_call(
-        seq_len, train, dropout_rate, ticks_per_beat, teacher, seed, score, gi_beat,
-        tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1, w_hh1,
-        b_hh1, out_w, out_b,
+        seq_len, train, dropout_rate, ticks_per_beat, teacher, seed,
+        score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1,
+        b_ih1, w_hh1, b_hh1, out_w, out_b,
     )
     return weights, samples
 
 
-def _fwd_call(seq_len, train, dropout_rate, ticks_per_beat, teacher, seed, score, gi_beat,
-              tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1,
-              w_hh1, b_hh1, out_w, out_b):
+def _fwd_call(seq_len, train, dropout_rate, ticks_per_beat, teacher, seed,
+              score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
+              w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b):
     B, E = x0.shape
     H = w_hh0.shape[0]
     V = emb.shape[0]
     T = seq_len
     kernel = functools.partial(
-        _fwd_kernel, seq_len=T, train=train, dropout_rate=dropout_rate,
+        _fwd_kernel, train=train, dropout_rate=dropout_rate,
         ticks_per_beat=ticks_per_beat,
     )
-    return pl.pallas_call(
+    step3 = lambda t: (t, 0, 0)  # noqa: E731
+    score3 = score.reshape(T, 1, B)
+    weights, samples3, h0_all, h1_all = pl.pallas_call(
         kernel,
-        grid=(),
-        in_specs=[_smem_spec(), _smem_spec()] + [_vmem_spec()] * 14,
-        out_specs=(_vmem_spec(),) * 4,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, B), step3, memory_space=pltpu.VMEM),  # score
+            _full(), _full(), _full(), _full(), _full(), _full(),
+            _full(), _full(), _full(), _full(), _full(), _full(), _full(),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, V), step3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), step3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), step3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), step3, memory_space=pltpu.VMEM),
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((T, B, V), jnp.float32),
-            jax.ShapeDtypeStruct((T, B), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, B), jnp.int32),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, E), jnp.float32),
+        ],
         interpret=_interpret(),
     )(
         jnp.asarray(teacher, jnp.int32).reshape(1),
         jnp.asarray(seed, jnp.int32).reshape(1),
-        score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
+        score3, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
         w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b,
     )
+    return weights, samples3.reshape(T, B), h0_all, h1_all
 
 
-def _vjp_fwd(seq_len, train, dropout_rate, ticks_per_beat, teacher, seed, score, gi_beat,
-             tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1,
-             w_hh1, b_hh1, out_w, out_b):
+def _vjp_fwd(seq_len, train, dropout_rate, ticks_per_beat, teacher, seed,
+             score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
+             w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b):
     weights, samples, h0_all, h1_all = _fwd_call(
-        seq_len, train, dropout_rate, ticks_per_beat, teacher, seed, score, gi_beat,
-        tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1, w_hh1,
-        b_hh1, out_w, out_b,
+        seq_len, train, dropout_rate, ticks_per_beat, teacher, seed,
+        score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1,
+        b_ih1, w_hh1, b_hh1, out_w, out_b,
     )
     res = (teacher, seed, score, gi_beat, tick_h0, x0, emb, w_ih0e,
            w_hh0, b_hh0, w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b,
@@ -414,30 +462,71 @@ def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, res, cts):
      samples, h0_all, h1_all) = res
     dweights, _ = cts  # samples (int) carry no gradient
 
+    T = seq_len
+    B, E = x0.shape
+    H = w_hh0.shape[0]
+    V = emb.shape[0]
+    NB = gi_beat.shape[0]
     kernel = functools.partial(
-        _bwd_kernel, seq_len=seq_len, train=train, dropout_rate=dropout_rate,
+        _bwd_kernel, train=train, dropout_rate=dropout_rate,
         ticks_per_beat=ticks_per_beat,
     )
+    rev3 = lambda k: (T - 1 - k, 0, 0)  # noqa: E731
+    # block at time t-1, clamped at t == 0 (overridden by reset there)
+    revm13 = lambda k: (jnp.maximum(T - 2 - k, 0), 0, 0)  # noqa: E731
+
     shapes = (
         gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1,
         w_hh1, b_hh1, out_w, out_b,
     )
     grads = pl.pallas_call(
         kernel,
-        grid=(),
-        in_specs=[_smem_spec(), _smem_spec()] + [_vmem_spec()] * 18,
-        out_specs=(_vmem_spec(),) * 13,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),  # score
+            _full(), _full(), _full(), _full(), _full(), _full(),
+            _full(), _full(), _full(), _full(), _full(), _full(), _full(),
+            pl.BlockSpec((1, 1, B), revm13, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), revm13, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), revm13, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, V), rev3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            _full(a.shape) for a in shapes
+        ),
         out_shape=tuple(
             jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in shapes
         ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),       # dh0 carry
+            pltpu.VMEM((B, H), jnp.float32),       # dh1 carry
+            pltpu.VMEM((NB, B, 3 * H), jnp.float32),
+            pltpu.VMEM((NB, 2, B, H), jnp.float32),
+            pltpu.VMEM((B, E), jnp.float32),
+            pltpu.VMEM((V, E), jnp.float32),
+            pltpu.VMEM((E, 3 * H), jnp.float32),
+            pltpu.VMEM((H, 3 * H), jnp.float32),
+            pltpu.VMEM((3 * H,), jnp.float32),
+            pltpu.VMEM((H, 3 * H), jnp.float32),
+            pltpu.VMEM((3 * H,), jnp.float32),
+            pltpu.VMEM((H, 3 * H), jnp.float32),
+            pltpu.VMEM((3 * H,), jnp.float32),
+            pltpu.VMEM((H, V), jnp.float32),
+            pltpu.VMEM((V,), jnp.float32),
+        ],
         interpret=_interpret(),
     )(
         jnp.asarray(teacher, jnp.int32).reshape(1),
         jnp.asarray(seed, jnp.int32).reshape(1),
-        score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
-        w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b,
-        samples, h0_all, h1_all, dweights,
+        score.reshape(T, 1, B), gi_beat, tick_h0, x0, emb, w_ih0e,
+        w_hh0, b_hh0, w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b,
+        samples.reshape(T, 1, B), h0_all, h0_all, h1_all, h1_all, dweights,
     )
+
     import numpy as np
 
     f0 = jax.dtypes.float0

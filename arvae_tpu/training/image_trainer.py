@@ -23,7 +23,7 @@ import numpy as np
 import optax
 
 from arvae_tpu.core.config import TrainerHParams, trainer_config_string
-from arvae_tpu.models.image_vae import DspritesVAE, MnistVAE
+from arvae_tpu.models.image_vae import MnistVAE
 from arvae_tpu.ops.losses import (
     kld_loss,
     pixel_accuracy,
