@@ -100,7 +100,7 @@ class DeviceEpochRunner:
         train_step_core: Callable,  # (state, batch, key) -> (state, metrics)
         eval_step_core: Callable,  # (state, batch, key) -> metrics
         base_key: jax.Array,
-        steps_per_call: int = 32,
+        steps_per_call: int = 64,
     ):
         self.train_split = train_split
         self.val_split = val_split
@@ -112,8 +112,10 @@ class DeviceEpochRunner:
 
         # K steps per dispatch via lax.scan: on a tunneled TPU transport
         # each dispatch costs ~5-10 ms RTT, so one dispatch per batch
-        # caps throughput; chunking amortizes it K-fold. Jitted per
-        # chunk length (full chunks + one remainder length).
+        # caps throughput; chunking amortizes it K-fold (measured on the
+        # dSprites loop: K=16 1123, K=32 2680, K=64 2794, K=128 2771
+        # steps/s — scripts/bench_chunk_size.py). Jitted per chunk
+        # length (full chunks + one remainder length).
         def make_train_chunk(k_steps: int):
             def chunk(state, images, labels, perm, i0, key):
                 def body(st, k):
