@@ -20,7 +20,7 @@ objects so the whole step stays jit-traceable.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,26 +64,35 @@ def reparametrize(
 
 
 class MnistVAE(nn.Module):
-    """28×28 single-channel conv VAE (reference mnist_vae.py:7-105)."""
+    """28×28 single-channel conv VAE (reference mnist_vae.py:7-105).
+
+    ``compute_dtype=jnp.bfloat16`` runs the conv/dense stacks in the
+    MXU's native dtype (params stay float32; the distribution heads and
+    the output logits stay float32 for stable KLD/BCE) — opt in via the
+    CLIs' ``--bf16``.
+    """
 
     z_dim: int = 16
     inter_dim: int = 19
     inter_channels: int = 8
     dropout_rate: float = 0.5
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
+        dt = self.compute_dtype
         self.enc_convs = [
-            nn.Conv(f, (4, 4), strides=1, padding="VALID", kernel_init=_XAVIER)
+            nn.Conv(f, (4, 4), strides=1, padding="VALID",
+                    kernel_init=_XAVIER, dtype=dt)
             for f in (64, 64, self.inter_channels)
         ]
-        self.enc_dense = nn.Dense(256, kernel_init=_XAVIER)
+        self.enc_dense = nn.Dense(256, kernel_init=_XAVIER, dtype=dt)
         self.enc_mean = nn.Dense(self.z_dim, kernel_init=_XAVIER)
         self.enc_log_std = nn.Dense(self.z_dim, kernel_init=_XAVIER)
         self.dec_denses = [
-            nn.Dense(256, kernel_init=_XAVIER),
+            nn.Dense(256, kernel_init=_XAVIER, dtype=dt),
             nn.Dense(
                 self.inter_dim * self.inter_dim * self.inter_channels,
-                kernel_init=_XAVIER,
+                kernel_init=_XAVIER, dtype=dt,
             ),
         ]
         # ConvTranspose(k4, s1, VALID) expressed as pad(3)+Conv — identical
@@ -91,7 +100,7 @@ class MnistVAE(nn.Module):
         # pathologically slowly on the TPU toolchain here (>9 min vs ~2 min).
         self.dec_convs = [
             nn.Conv(f, (4, 4), strides=1, padding=((3, 3), (3, 3)),
-                    kernel_init=_XAVIER)
+                    kernel_init=_XAVIER, dtype=dt)
             for f in (64, 64, 1)
         ]
         self.dropout = nn.Dropout(self.dropout_rate)
@@ -123,8 +132,9 @@ class MnistVAE(nn.Module):
             h = conv(h)
             if i < len(self.dec_convs) - 1:
                 h = self.dropout(self._act(h), deterministic=not train)
-        # NHWC -> NCHW at the edge to mirror the reference's output layout
-        return jnp.transpose(h, (0, 3, 1, 2))
+        # NHWC -> NCHW at the edge to mirror the reference's output layout;
+        # logits leave in float32 regardless of the compute dtype
+        return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
 
     def __call__(self, x, *, rng_sample=None, train: bool = True):
         z_mean, z_log_std = self.encode(x, train=train)
@@ -149,28 +159,29 @@ class DspritesVAE(MnistVAE):
     inter_channels: int = 32
 
     def setup(self):
+        dt = self.compute_dtype
         self.enc_convs = [
             nn.Conv(32, (4, 4), strides=2, padding=((1, 1), (1, 1)),
-                    kernel_init=_XAVIER)
+                    kernel_init=_XAVIER, dtype=dt)
             for _ in range(4)
         ]
         self.enc_denses = [
-            nn.Dense(256, kernel_init=_XAVIER),
-            nn.Dense(256, kernel_init=_XAVIER),
+            nn.Dense(256, kernel_init=_XAVIER, dtype=dt),
+            nn.Dense(256, kernel_init=_XAVIER, dtype=dt),
         ]
         self.enc_mean = nn.Dense(self.z_dim, kernel_init=_XAVIER)
         self.enc_log_std = nn.Dense(self.z_dim, kernel_init=_XAVIER)
         self.dec_denses = [
-            nn.Dense(256, kernel_init=_XAVIER),
-            nn.Dense(256, kernel_init=_XAVIER),
+            nn.Dense(256, kernel_init=_XAVIER, dtype=dt),
+            nn.Dense(256, kernel_init=_XAVIER, dtype=dt),
             nn.Dense(
                 self.inter_dim * self.inter_dim * self.inter_channels,
-                kernel_init=_XAVIER,
+                kernel_init=_XAVIER, dtype=dt,
             ),
         ]
         self.dec_convs = [
             nn.ConvTranspose(f, (4, 4), strides=(2, 2), padding="SAME",
-                             kernel_init=_XAVIER)
+                             kernel_init=_XAVIER, dtype=dt)
             for f in (32, 32, 32, 1)
         ]
         self.dropout = nn.Dropout(0.0)  # dsprites nets have no dropout
@@ -198,4 +209,4 @@ class DspritesVAE(MnistVAE):
             h = conv(h)
             if i < len(self.dec_convs) - 1:
                 h = self._act(h)
-        return jnp.transpose(h, (0, 3, 1, 2))
+        return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)

@@ -109,3 +109,31 @@ class TestFader:
         out = d.apply(vs, jnp.zeros((4, 16)), train=False)
         assert out.shape == (4, 6)
         assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+
+def test_bf16_compute_dtype_keeps_f32_interface():
+    """Mixed precision: params, distribution heads, and logits stay
+    float32 while the conv/dense stacks run in bfloat16; outputs track
+    the f32 model within bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from arvae_tpu.models import DspritesVAE
+
+    x = jnp.asarray(
+        (np.random.RandomState(0).rand(4, 1, 64, 64) > 0.7), jnp.float32
+    )
+    rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+    m32 = DspritesVAE()
+    v = m32.init(rngs, x, train=False)
+    m16 = DspritesVAE(compute_dtype=jnp.bfloat16)
+
+    out32 = m32.apply(v, x, train=False, rngs={"sample": jax.random.key(2)})
+    out16 = m16.apply(v, x, train=False, rngs={"sample": jax.random.key(2)})
+    assert out16.logits.dtype == jnp.float32
+    assert out16.z_mean.dtype == jnp.float32
+    # same params, same sample key -> same computation up to bf16 rounding
+    np.testing.assert_allclose(
+        np.asarray(out16.z_mean), np.asarray(out32.z_mean),
+        atol=0.1, rtol=0.1,
+    )

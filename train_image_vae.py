@@ -45,6 +45,9 @@ from arvae_tpu.training.image_trainer import (
               help="use a reduced dSprites factor grid for quick runs")
 @click.option("--pallas/--no_pallas", "use_pallas", default=None,
               help="force the fused Pallas reg-loss kernel on/off")
+@click.option("--bf16/--f32", "bf16", default=False,
+              help="run the conv/dense stacks in bfloat16 (MXU-native; "
+                   "params, heads and logits stay float32)")
 def main(
     dataset_type,
     batch_size,
@@ -61,15 +64,19 @@ def main(
     reg_type,
     short,
     use_pallas,
+    bf16,
 ):
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
     if dataset_type == "mnist":
         dataset = MorphoMnistDataset()
-        model = MnistVAE()
+        model = MnistVAE(compute_dtype=compute_dtype)
         attr_dict = MNIST_REG_TYPES
     elif dataset_type == "dsprites":
         factor_sizes = (1, 3, 3, 10, 16, 16) if short else (1, 3, 6, 40, 32, 32)
         dataset = DspritesDataset(factor_sizes=factor_sizes)
-        model = DspritesVAE()
+        model = DspritesVAE(compute_dtype=compute_dtype)
         attr_dict = DSPRITES_REG_TYPE
     else:
         raise ValueError("Invalid dataset_type. Choose between mnist and dsprites")
