@@ -116,3 +116,33 @@ class TestIdxIO:
         p = str(tmp_path / "x-idx3-ubyte.gz")
         idx_io.save_idx(arr, p)
         np.testing.assert_array_equal(idx_io.load_idx(p), arr)
+
+
+class TestDspritesRealNpz:
+    def test_published_npz_format_loads(self, tmp_path, monkeypatch):
+        """A file in the published dsprites .npz layout (imgs uint8 +
+        latents_values) takes priority over procedural generation."""
+        import arvae_tpu.data.dsprites as dsp
+
+        sizes = (1, 2, 2, 2, 2, 2)
+        n = int(np.prod(sizes))
+        rng = np.random.RandomState(0)
+        imgs = (rng.rand(n, 64, 64) > 0.8).astype(np.uint8)
+        latents = rng.rand(n, 6).astype(np.float64)
+        np.savez(
+            str(tmp_path / dsp.DSPRITES_NPZ),
+            imgs=imgs,
+            latents_values=latents,
+        )
+        monkeypatch.setattr(dsp, "FULL_FACTOR_SIZES", sizes)
+
+        ds = dsp.DspritesDataset(root=str(tmp_path), factor_sizes=sizes)
+        ds.load_dataset()
+        assert len(ds.packed) == n
+        unpacked = ds.unpack(ds.packed[:4])
+        np.testing.assert_array_equal(
+            unpacked.reshape(4, 64, 64), imgs[:4].astype(np.float32)
+        )
+        np.testing.assert_allclose(
+            ds.latents[:4], latents.astype(np.float32)[:4]
+        )
