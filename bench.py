@@ -26,8 +26,8 @@ import numpy as np
 
 BATCH = 128
 N_ROWS = 516_096  # full-scale dSprites train split
-WARMUP_STEPS = 256
-MEASURE_STEPS = 2048
+WARMUP_STEPS = 512
+MEASURE_STEPS = 8192
 
 
 def measure_ours() -> float:
@@ -138,7 +138,7 @@ def measure_music() -> float:
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.measure("hier", measure_steps=512)
+    return mod.measure("hier", measure_steps=1536)
 
 
 def main():
