@@ -225,10 +225,7 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
                 dgi_beat_ref, dtick_h0_ref, dx0_ref, demb_ref, dw_ih0e_ref,
                 dw_hh0_ref, db_hh0_ref, dw_ih1_ref, db_ih1_ref,
                 dw_hh1_ref, db_hh1_ref, dout_w_ref, dout_b_ref,
-                dh0_scr, dh1_scr, dgi_beat_scr, dtick_scr, dx0_scr,
-                demb_scr, dw_ih0e_scr, dw_hh0_scr, db_hh0_scr, dw_ih1_scr,
-                db_ih1_scr, dw_hh1_scr, db_hh1_scr, dout_w_scr,
-                dout_b_scr, *,
+                dh0_scr, dh1_scr, *,
                 train: bool, dropout_rate: float, ticks_per_beat: int):
     k = pl.program_id(0)
     T = pl.num_programs(0)
@@ -239,23 +236,26 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
     seed = seed_ref[0]
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
 
+    # gradient accumulators live directly in the (VMEM-resident,
+    # constant-index) output blocks; only the hidden-grad carries need
+    # scratch
     @pl.when(k == 0)
     def _():
         dh0_scr[:] = jnp.zeros_like(dh0_scr)
         dh1_scr[:] = jnp.zeros_like(dh1_scr)
-        dgi_beat_scr[:] = jnp.zeros_like(dgi_beat_scr)
-        dtick_scr[:] = jnp.zeros_like(dtick_scr)
-        dx0_scr[:] = jnp.zeros_like(dx0_scr)
-        demb_scr[:] = jnp.zeros_like(demb_scr)
-        dw_ih0e_scr[:] = jnp.zeros_like(dw_ih0e_scr)
-        dw_hh0_scr[:] = jnp.zeros_like(dw_hh0_scr)
-        db_hh0_scr[:] = jnp.zeros_like(db_hh0_scr)
-        dw_ih1_scr[:] = jnp.zeros_like(dw_ih1_scr)
-        db_ih1_scr[:] = jnp.zeros_like(db_ih1_scr)
-        dw_hh1_scr[:] = jnp.zeros_like(dw_hh1_scr)
-        db_hh1_scr[:] = jnp.zeros_like(db_hh1_scr)
-        dout_w_scr[:] = jnp.zeros_like(dout_w_scr)
-        dout_b_scr[:] = jnp.zeros_like(dout_b_scr)
+        dgi_beat_ref[:] = jnp.zeros_like(dgi_beat_ref)
+        dtick_h0_ref[:] = jnp.zeros_like(dtick_h0_ref)
+        dx0_ref[:] = jnp.zeros_like(dx0_ref)
+        demb_ref[:] = jnp.zeros_like(demb_ref)
+        dw_ih0e_ref[:] = jnp.zeros_like(dw_ih0e_ref)
+        dw_hh0_ref[:] = jnp.zeros_like(dw_hh0_ref)
+        db_hh0_ref[:] = jnp.zeros_like(db_hh0_ref)
+        dw_ih1_ref[:] = jnp.zeros_like(dw_ih1_ref)
+        db_ih1_ref[:] = jnp.zeros_like(db_ih1_ref)
+        dw_hh1_ref[:] = jnp.zeros_like(dw_hh1_ref)
+        db_hh1_ref[:] = jnp.zeros_like(db_hh1_ref)
+        dout_w_ref[:] = jnp.zeros_like(dout_w_ref)
+        dout_b_ref[:] = jnp.zeros_like(dout_b_ref)
 
     ib = t // ticks_per_beat
     reset = (t % ticks_per_beat) == 0
@@ -307,56 +307,40 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
 
     # ---- backward --------------------------------------------------------
     dlogits = dweights_ref[0] * (pre_out > 0.0).astype(jnp.float32)
-    dout_w_scr[:] += _matT_a_b(h1_new, dlogits)
-    dout_b_scr[:] += jnp.sum(dlogits, axis=0)
+    dout_w_ref[:] += _matT_a_b(h1_new, dlogits)
+    dout_b_ref[:] += jnp.sum(dlogits, axis=0)
     dh1 = dh1_scr[:] + _a_bT(dlogits, out_w_ref[:])
 
     dgi1, dgh1, dh1_prev = _gru_bwd(dh1, r1, z1, n1, hn1, h1_prev,
                                     w_hh1_ref[:])
-    dw_ih1_scr[:] += _matT_a_b(inter, dgi1)
-    db_ih1_scr[:] += jnp.sum(dgi1, axis=0)
-    dw_hh1_scr[:] += _matT_a_b(h1_prev, dgh1)
-    db_hh1_scr[:] += jnp.sum(dgh1, axis=0)
+    dw_ih1_ref[:] += _matT_a_b(inter, dgi1)
+    db_ih1_ref[:] += jnp.sum(dgi1, axis=0)
+    dw_hh1_ref[:] += _matT_a_b(h1_prev, dgh1)
+    db_hh1_ref[:] += jnp.sum(dgh1, axis=0)
 
     dinter = _a_bT(dgi1, w_ih1_ref[:])
     dh0 = dh0_scr[:] + (dinter * mask if mask is not None else dinter)
 
     dgi0, dgh0, dh0_prev = _gru_bwd(dh0, r0, z0, n0, hn0, h0_prev,
                                     w_hh0_ref[:])
-    dw_hh0_scr[:] += _matT_a_b(h0_prev, dgh0)
-    db_hh0_scr[:] += jnp.sum(dgh0, axis=0)
-    dgi_beat_scr[ib] += dgi0
-    dw_ih0e_scr[:] += _matT_a_b(prev_emb, dgi0)
+    dw_hh0_ref[:] += _matT_a_b(h0_prev, dgh0)
+    db_hh0_ref[:] += jnp.sum(dgh0, axis=0)
+    dgi_beat_ref[ib] += dgi0
+    dw_ih0e_ref[:] += _matT_a_b(prev_emb, dgi0)
 
     dprev_emb = _a_bT(dgi0, w_ih0e_ref[:])  # (B, E)
     zero_e = jnp.zeros_like(dprev_emb)
-    demb_scr[:] += _matT_a_b(
+    demb_ref[:] += _matT_a_b(
         onehot_prev, jnp.where(t == 0, zero_e, dprev_emb)
     )
-    dx0_scr[:] += jnp.where(t == 0, dprev_emb, zero_e)
+    dx0_ref[:] += jnp.where(t == 0, dprev_emb, zero_e)
 
     # reset boundaries route the hidden grad to the per-beat inits
     zero_h = jnp.zeros((B, H), jnp.float32)
-    dtick_scr[ib, 0] += jnp.where(reset, dh0_prev, zero_h)
-    dtick_scr[ib, 1] += jnp.where(reset, dh1_prev, zero_h)
+    dtick_h0_ref[ib, 0] += jnp.where(reset, dh0_prev, zero_h)
+    dtick_h0_ref[ib, 1] += jnp.where(reset, dh1_prev, zero_h)
     dh0_scr[:] = jnp.where(reset, zero_h, dh0_prev)
     dh1_scr[:] = jnp.where(reset, zero_h, dh1_prev)
-
-    @pl.when(k == T - 1)
-    def _():
-        dgi_beat_ref[:] = dgi_beat_scr[:]
-        dtick_h0_ref[:] = dtick_scr[:]
-        dx0_ref[:] = dx0_scr[:]
-        demb_ref[:] = demb_scr[:]
-        dw_ih0e_ref[:] = dw_ih0e_scr[:]
-        dw_hh0_ref[:] = dw_hh0_scr[:]
-        db_hh0_ref[:] = db_hh0_scr[:]
-        dw_ih1_ref[:] = dw_ih1_scr[:]
-        db_ih1_ref[:] = db_ih1_scr[:]
-        dw_hh1_ref[:] = dw_hh1_scr[:]
-        db_hh1_ref[:] = db_hh1_scr[:]
-        dout_w_ref[:] = dout_w_scr[:]
-        dout_b_ref[:] = dout_b_scr[:]
 
 
 # ---------------------------------------------------------------------------
@@ -466,7 +450,6 @@ def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, res, cts):
     B, E = x0.shape
     H = w_hh0.shape[0]
     V = emb.shape[0]
-    NB = gi_beat.shape[0]
     kernel = functools.partial(
         _bwd_kernel, train=train, dropout_rate=dropout_rate,
         ticks_per_beat=ticks_per_beat,
@@ -504,19 +487,6 @@ def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, res, cts):
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),       # dh0 carry
             pltpu.VMEM((B, H), jnp.float32),       # dh1 carry
-            pltpu.VMEM((NB, B, 3 * H), jnp.float32),
-            pltpu.VMEM((NB, 2, B, H), jnp.float32),
-            pltpu.VMEM((B, E), jnp.float32),
-            pltpu.VMEM((V, E), jnp.float32),
-            pltpu.VMEM((E, 3 * H), jnp.float32),
-            pltpu.VMEM((H, 3 * H), jnp.float32),
-            pltpu.VMEM((3 * H,), jnp.float32),
-            pltpu.VMEM((H, 3 * H), jnp.float32),
-            pltpu.VMEM((3 * H,), jnp.float32),
-            pltpu.VMEM((H, 3 * H), jnp.float32),
-            pltpu.VMEM((3 * H,), jnp.float32),
-            pltpu.VMEM((H, V), jnp.float32),
-            pltpu.VMEM((V,), jnp.float32),
         ],
         interpret=_interpret(),
     )(
