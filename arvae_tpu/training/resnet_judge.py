@@ -11,7 +11,6 @@ optax's core set and the judge only needs ≥96% accuracy).
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
