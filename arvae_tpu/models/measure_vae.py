@@ -211,7 +211,8 @@ class SRDecoder(nn.Module):
             )
             tick_h0 = jnp.zeros((1, L, B, H), jnp.float32)
             weights_t, samples_t = hier_tick_chain(
-                T, bool(train), float(self.dropout) if train else 0.0, T,
+                T, bool(train), float(self.dropout) if train else 0.0,
+                T, sampling,
                 jnp.asarray(teacher_forced, jnp.int32), seed,
                 jnp.transpose(score).astype(jnp.int32),
                 gi_z[None], tick_h0, x0, self.embedding, w_ih0[:E],
@@ -422,7 +423,7 @@ class HierarchicalDecoder(nn.Module):
             weights_t, samples_t = hier_tick_chain(
                 MEASURE_SEQ_LEN, bool(train),
                 float(self.dropout) if train else 0.0,
-                NUM_TICKS_PER_BEAT,
+                NUM_TICKS_PER_BEAT, sampling,
                 jnp.asarray(teacher_forced, jnp.int32), seed,
                 jnp.transpose(score).astype(jnp.int32),
                 gi_beat, tick_h0, x0, self.embedding, w_ih0[:E],

@@ -53,7 +53,7 @@ NUM_TICKS_PER_BEAT = 6
 def supports(batch: int, hidden: int, num_layers: int, num_notes: int,
              seq_len: int, sampling: str) -> bool:
     """TPU tiling + VMEM budget guard for the fused decoder."""
-    if num_layers != 2 or sampling != "argmax":
+    if num_layers != 2 or sampling not in ("argmax", "multinomial"):
         return False
     if hidden % 128 != 0 or batch % 8 != 0:
         return False
@@ -105,13 +105,37 @@ def _gru_bwd(dh, r, z, n, h_n, h_prev, w_hh):
     return dgi, dgh, dh_prev
 
 
+def _uniform01(seed, t, shape, salt: int):
+    """Deterministic per-(seed, t, salt) uniforms in (0, 1) — replayable
+    bit-exactly in the backward pass. The TPU PRNG has no interpret-mode
+    lowering, so off-TPU the same contract comes from jax.random."""
+    if _interpret():
+        key = jax.random.key(seed * 131071 + t * 7919 + salt)
+        u = jax.random.uniform(key, shape)
+    else:
+        pltpu.prng_seed(seed + t * 7919 + salt)
+        # prng_random_bits yields SIGNED int32; shift as uint32 (an
+        # arithmetic shift would sign-extend and u would land in
+        # (-.5, .5)), then bitcast back — Mosaic cannot cast uint32 to
+        # float directly, but the top-24-bit value fits int32 exactly
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 8
+        u = pltpu.bitcast(bits, jnp.int32).astype(jnp.float32) * (
+            1.0 / 16777216.0)
+    return u * (1.0 - 2.0 / 16777216.0) + 1.0 / 16777216.0
+
+
 def _dropout_mask(seed, t, shape, rate: float):
     """Deterministic per-(seed, t) keep mask, replayable in the bwd pass."""
-    pltpu.prng_seed(seed + t * 7919)
-    bits = pltpu.prng_random_bits(shape)
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    u = _uniform01(seed, t, shape, 0)
     keep = 1.0 - rate
     return jnp.where(u < keep, 1.0 / keep, 0.0)
+
+
+def _gumbel(seed, t, shape):
+    """Per-(seed, t) Gumbel noise (salt keeps the stream disjoint from
+    the dropout masks)."""
+    u = _uniform01(seed, t, shape, 3571)
+    return -jnp.log(-jnp.log(u))
 
 
 def _matT_a_b(a, b):
@@ -141,7 +165,8 @@ def _fwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
                 out_w_ref, out_b_ref,
                 weights_ref, samples_ref, h0_all_ref, h1_all_ref,
                 h0_scr, h1_scr, emb_scr, *,
-                train: bool, dropout_rate: float, ticks_per_beat: int):
+                train: bool, dropout_rate: float, ticks_per_beat: int,
+                sampling: str):
     t = pl.program_id(0)
     B = x0_ref.shape[0]
     V = emb_ref.shape[0]
@@ -192,10 +217,15 @@ def _fwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
         + out_b_ref[:],
         0.0,
     )  # (B, V)
-    # argmax via max+iota: lowest index on ties, matching jnp.argmax
-    m = jnp.max(logits, axis=-1, keepdims=True)
+    # argmax via max+iota: lowest index on ties, matching jnp.argmax.
+    # multinomial == Gumbel-max over the same logits (the distribution
+    # jax.random.categorical samples in the XLA path).
+    scores = logits
+    if sampling == "multinomial":
+        scores = logits + _gumbel(seed, t, logits.shape)
+    m = jnp.max(scores, axis=-1, keepdims=True)
     sampled = jnp.min(
-        jnp.where(logits == m, iota_v, V), axis=-1
+        jnp.where(scores == m, iota_v, V), axis=-1
     ).astype(jnp.int32)
     tok = jnp.where(teacher, score_ref[0, 0], sampled)
 
@@ -359,9 +389,9 @@ def _full(spec_shape=None):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def hier_tick_chain(seq_len: int, train: bool, dropout_rate: float,
-                    ticks_per_beat: int,
+                    ticks_per_beat: int, sampling: str,
                     teacher, seed, score,
                     gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
                     w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b
@@ -369,14 +399,16 @@ def hier_tick_chain(seq_len: int, train: bool, dropout_rate: float,
     """Fused T-step tick loop. ``score`` is time-major (T, B).
     Returns (weights (T,B,V) relu logits, samples (T,B) fed tokens)."""
     weights, samples, _, _ = _fwd_call(
-        seq_len, train, dropout_rate, ticks_per_beat, teacher, seed,
+        seq_len, train, dropout_rate, ticks_per_beat, sampling,
+        teacher, seed,
         score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1,
         b_ih1, w_hh1, b_hh1, out_w, out_b,
     )
     return weights, samples
 
 
-def _fwd_call(seq_len, train, dropout_rate, ticks_per_beat, teacher, seed,
+def _fwd_call(seq_len, train, dropout_rate, ticks_per_beat, sampling,
+              teacher, seed,
               score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
               w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b):
     B, E = x0.shape
@@ -385,7 +417,7 @@ def _fwd_call(seq_len, train, dropout_rate, ticks_per_beat, teacher, seed,
     T = seq_len
     kernel = functools.partial(
         _fwd_kernel, train=train, dropout_rate=dropout_rate,
-        ticks_per_beat=ticks_per_beat,
+        ticks_per_beat=ticks_per_beat, sampling=sampling,
     )
     step3 = lambda t: (t, 0, 0)  # noqa: E731
     score3 = score.reshape(T, 1, B)
@@ -426,11 +458,13 @@ def _fwd_call(seq_len, train, dropout_rate, ticks_per_beat, teacher, seed,
     return weights, samples3.reshape(T, B), h0_all, h1_all
 
 
-def _vjp_fwd(seq_len, train, dropout_rate, ticks_per_beat, teacher, seed,
+def _vjp_fwd(seq_len, train, dropout_rate, ticks_per_beat, sampling,
+             teacher, seed,
              score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0,
              w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b):
     weights, samples, h0_all, h1_all = _fwd_call(
-        seq_len, train, dropout_rate, ticks_per_beat, teacher, seed,
+        seq_len, train, dropout_rate, ticks_per_beat, sampling,
+        teacher, seed,
         score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1,
         b_ih1, w_hh1, b_hh1, out_w, out_b,
     )
@@ -440,7 +474,8 @@ def _vjp_fwd(seq_len, train, dropout_rate, ticks_per_beat, teacher, seed,
     return (weights, samples), res
 
 
-def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, res, cts):
+def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, sampling,
+             res, cts):
     (teacher, seed, score, gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0,
      b_hh0, w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b,
      samples, h0_all, h1_all) = res

@@ -198,3 +198,51 @@ def test_fused_kernels_under_data_parallel_sharding(model_and_params,
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7),
         g8, g1,
     )
+
+
+class TestMultinomialSampling:
+    """Gumbel-max multinomial in the fused kernel (same distribution as
+    jax.random.categorical over the same logits)."""
+
+    def _chain_args(self, out_b):
+        rng = np.random.RandomState(0)
+        Hh, E, Vv, Bb, T = 128, 10, 130, 8, MEASURE_SEQ_LEN
+        z = lambda *sh: jnp.zeros(sh, jnp.float32)  # noqa: E731
+        return dict(
+            teacher=jnp.int32(0), seed=jnp.int32(11),
+            score=jnp.asarray(rng.randint(0, Vv, (T, Bb)), jnp.int32),
+            gi_beat=z(4, Bb, 3 * Hh), tick_h0=z(4, 2, Bb, Hh),
+            x0=z(Bb, E), emb=z(Vv, E), w_ih0e=z(E, 3 * Hh),
+            w_hh0=z(Hh, 3 * Hh), b_hh0=z(3 * Hh),
+            w_ih1=z(Hh, 3 * Hh), b_ih1=z(3 * Hh),
+            w_hh1=z(Hh, 3 * Hh), b_hh1=z(3 * Hh),
+            out_w=z(Hh, 130), out_b=jnp.asarray(out_b, jnp.float32),
+        )
+
+    def test_peaked_logits_deterministic(self, monkeypatch):
+        """With one dominant logit, multinomial must equal argmax."""
+        from arvae_tpu.ops.hier_decoder_pallas import hier_tick_chain
+
+        out_b = np.zeros(130, np.float32)
+        out_b[37] = 1e4
+        args = self._chain_args(out_b)
+        _, s_multi = hier_tick_chain(
+            MEASURE_SEQ_LEN, True, 0.0, 6, "multinomial", *args.values())
+        _, s_arg = hier_tick_chain(
+            MEASURE_SEQ_LEN, True, 0.0, 6, "argmax", *args.values())
+        np.testing.assert_array_equal(np.asarray(s_multi),
+                                      np.asarray(s_arg))
+        assert int(np.asarray(s_multi)[0, 0]) == 37
+
+    def test_uniform_logits_spread(self):
+        """With flat logits, samples must spread over the vocabulary
+        (argmax would collapse to index 0)."""
+        from arvae_tpu.ops.hier_decoder_pallas import hier_tick_chain
+
+        args = self._chain_args(np.zeros(130, np.float32))
+        _, s = hier_tick_chain(
+            MEASURE_SEQ_LEN, True, 0.0, 6, "multinomial", *args.values())
+        toks = np.asarray(s).ravel()  # 24*8 = 192 samples
+        assert len(np.unique(toks)) > 50  # argmax path would give {0}
+        counts = np.bincount(toks, minlength=130)
+        assert counts.max() <= 12  # no token dominates a uniform draw
