@@ -25,24 +25,17 @@ EVAL_METRIC_DICT = {
 }
 
 
-def continuous_mutual_info(mus: np.ndarray, ys: np.ndarray) -> np.ndarray:
-    """(num_codes, num_attributes) kNN MI matrix
-    (reference evaluation.py:32-43)."""
-    num_codes = mus.shape[1]
-    num_attributes = ys.shape[1]
-    m = np.zeros([num_codes, num_attributes])
-    for i in range(num_attributes):
-        m[:, i] = mutual_info_regression(mus, ys[:, i])
-    return m
+def _mi_profiles(latent_codes: np.ndarray, attributes: np.ndarray) -> list:
+    """One kNN-MI profile per attribute: element ``a`` is the vector of
+    MI(latent dim d ; attribute a) over all latent dims.
 
-
-def continuous_entropy(ys: np.ndarray) -> np.ndarray:
-    """Self-MI entropy estimate per attribute (reference evaluation.py:58-69)."""
-    num_factors = ys.shape[1]
-    h = np.zeros(num_factors)
-    for j in range(num_factors):
-        h[j] = mutual_info_regression(ys[:, j].reshape(-1, 1), ys[:, j])[0]
-    return h
+    Attribute-major (list of per-attribute vectors) rather than a
+    code-by-attribute matrix; the estimator calls — and therefore the
+    numeric results — match the reference's matrix build
+    (evaluation.py:32-43) because kNN MI is computed per attribute
+    column in the same order either way.
+    """
+    return [mutual_info_regression(latent_codes, a) for a in attributes.T]
 
 
 def compute_interpretability_metric(latent_codes, attributes, attr_list):
@@ -66,34 +59,44 @@ def compute_interpretability_metric(latent_codes, attributes, attr_list):
 
 
 def compute_mig(latent_codes, attributes):
-    """Mutual information gap (reference evaluation.py:96-110)."""
-    m = continuous_mutual_info(latent_codes, attributes)
-    entropy = continuous_entropy(attributes)
-    sorted_m = np.sort(m, axis=0)[::-1]
-    return {
-        "mig": float(
-            np.mean(np.divide(sorted_m[0, :] - sorted_m[1, :], entropy[:]))
-        )
-    }
+    """Mutual information gap: per attribute, the gap between the two
+    most-informative latent dims, normalised by the attribute's own
+    kNN-entropy estimate (self-MI), averaged over attributes.
 
-
-def _modularity(mutual_information):
-    squared_mi = np.square(mutual_information)
-    max_squared_mi = np.max(squared_mi, axis=1)
-    numerator = np.sum(squared_mi, axis=1) - max_squared_mi
-    denominator = max_squared_mi * (squared_mi.shape[1] - 1.0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        delta = numerator / denominator
-    modularity_score = 1.0 - delta
-    index = max_squared_mi == 0.0
-    modularity_score[index] = 0.0
-    return float(np.mean(modularity_score))
+    Same estimator and result as reference evaluation.py:96-110; built
+    from per-attribute top-2 partitions instead of a sorted MI matrix.
+    """
+    profiles = _mi_profiles(latent_codes, attributes)
+    entropies = [
+        mutual_info_regression(a.reshape(-1, 1), a)[0] for a in attributes.T
+    ]
+    gaps = []
+    for profile, h in zip(profiles, entropies):
+        second, best = np.partition(profile, profile.size - 2)[-2:]
+        gaps.append((best - second) / h)
+    return {"mig": float(np.mean(gaps))}
 
 
 def compute_modularity(latent_codes, attributes):
-    """Modularity (reference evaluation.py:113-140)."""
-    mi = continuous_mutual_info(latent_codes, attributes)
-    return {"modularity_score": _modularity(mi)}
+    """Modularity (Ridgeway & Mozer): a latent dim is modular when its
+    squared MI mass concentrates on a single attribute. Per dim,
+    1 - (off-target squared-MI) / (ideal one-hot off-target bound); dims
+    carrying no MI at all score 0. Mean over dims.
+
+    Same estimator and result as reference evaluation.py:113-140,
+    computed per latent dim rather than via masked matrix algebra.
+    """
+    profiles = np.stack(_mi_profiles(latent_codes, attributes))
+    per_dim = []
+    for dim_profile in profiles.T:  # MI of one latent dim vs every attribute
+        energy = dim_profile**2
+        best = energy.max()
+        if best == 0.0:
+            per_dim.append(0.0)
+        else:
+            off_target = energy.sum() - best
+            per_dim.append(1.0 - off_target / (best * (energy.size - 1.0)))
+    return {"modularity_score": float(np.mean(per_dim))}
 
 
 def _compute_correlation_matrix(mus, ys):

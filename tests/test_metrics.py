@@ -77,6 +77,31 @@ def test_scc_perfect_and_random(disentangled, entangled):
     assert compute_correlation_score(*entangled)["Corr_score"] < 0.2
 
 
+def test_mig_modularity_golden():
+    """Numeric pin for the round-3 rewrite of the MI/MIG/modularity
+    helpers: values captured from the pre-rewrite implementation on this
+    exact fixture (seeded kNN estimator) must be reproduced bit-for-bit
+    by the restructured code."""
+    rng = np.random.RandomState(1234)
+    z = rng.randn(400, 8).astype(np.float64)
+    attrs = np.stack(
+        [
+            2.0 * z[:, 0] + 0.05 * rng.randn(400),
+            -1.5 * z[:, 3] + 0.3 * z[:, 5] + 0.05 * rng.randn(400),
+            0.7 * z[:, 1] + 0.7 * z[:, 2] + 0.05 * rng.randn(400),
+        ],
+        axis=1,
+    )
+    np.random.seed(0)  # mutual_info_regression jitters via the global RNG
+    assert compute_mig(z, attrs)["mig"] == pytest.approx(
+        0.36253347424653054, abs=1e-12
+    )
+    np.random.seed(0)
+    assert compute_modularity(z, attrs)["modularity_score"] == pytest.approx(
+        0.8199665626389419, abs=1e-12
+    )
+
+
 def test_normalize_data_zscore():
     rng = np.random.RandomState(3)
     x = rng.randn(500, 4) * 7.0 + 3.0
