@@ -12,6 +12,15 @@ jitted step*. Steady-state epochs make zero host→device transfers
 Shapes are static: epochs drop the final partial batch (matching
 drop_last semantics); batches are sharded over the mesh's data axis via
 a sharding constraint after the gather.
+
+On a multi-chip data axis the split itself is row-sharded: each chip
+stores ``N/d`` rows, and the batch gather runs under ``shard_map`` —
+every chip contributes the requested rows it owns to the (B, D) batch
+and a ``psum_scatter`` over the data axis hands each chip its local
+``B/d`` slice. Per-step communication is one batch of packed rows
+(tens of KB) instead of each chip holding the whole split (264 MB for
+full dSprites), and the batches are bit-identical to the replicated
+path because the global epoch permutation is unchanged.
 """
 
 from __future__ import annotations
@@ -20,6 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from arvae_tpu.parallel import MeshContext
 
@@ -50,24 +60,89 @@ class DeviceSplit:
         image_shape: Tuple[int, ...],
         kind: str,
         ctx: MeshContext,
+        row_sharded: Optional[bool] = None,  # default: shard iff n_data > 1
     ):
         assert kind in ("packed", "bytes", "tokens")
         self.n = len(rows)
         self.image_shape = tuple(image_shape)
         self.kind = kind
         self.ctx = ctx
-        self.images = jax.device_put(np.ascontiguousarray(rows),
-                                     ctx.replicated)
-        self.labels = jax.device_put(np.ascontiguousarray(labels),
-                                     ctx.replicated)
+        if row_sharded is None:
+            row_sharded = ctx.n_data > 1
+        self.row_sharded = row_sharded and ctx.n_data > 1
+        rows = np.ascontiguousarray(rows)
+        labels = np.ascontiguousarray(labels)
+        if self.row_sharded:
+            # Each chip stores N/d rows. Pad with zero rows up to
+            # divisibility; the epoch permutation only emits indices
+            # < self.n, so pad rows are never gathered.
+            d = ctx.n_data
+            n_pad = ctx.pad_batch(self.n)
+            if n_pad != self.n:
+                rows = np.concatenate(
+                    [rows, np.zeros((n_pad - self.n,) + rows.shape[1:],
+                                    rows.dtype)], axis=0)
+                labels = np.concatenate(
+                    [labels, np.zeros((n_pad - self.n,) + labels.shape[1:],
+                                      labels.dtype)], axis=0)
+            self.local_n = n_pad // d
+            self.images = jax.device_put(rows, ctx.batch)
+            self.labels = jax.device_put(labels, ctx.batch)
+        else:
+            self.images = jax.device_put(rows, ctx.replicated)
+            self.labels = jax.device_put(labels, ctx.replicated)
 
     def num_batches(self, batch_size: int) -> int:
         return self.n // batch_size
 
+    def _sharded_take(self, images, labels, idx: jax.Array):
+        """Distributed row gather over the data axis.
+
+        Each chip looks up which of the B requested global rows fall in
+        its own shard, contributes those (zeros elsewhere), and a
+        tiled ``psum_scatter`` both sums the contributions and deals
+        chip k its rows ``idx[k*B/d:(k+1)*B/d]`` — i.e. the batch comes
+        out already sharded P('data') with exactly the rows a replicated
+        ``jnp.take`` would produce. Collective payload: one (B, D)
+        packed-row batch, not the dataset.
+        """
+        local_n = self.local_n
+
+        def body(rows_l, labs_l, idx_full):
+            offset = jax.lax.axis_index("data") * local_n
+            li = idx_full - offset
+            ok = (li >= 0) & (li < local_n)
+            li = jnp.clip(li, 0, local_n - 1)
+
+            def contrib(x):
+                g = jnp.take(x, li, axis=0)
+                mask = ok.reshape((-1,) + (1,) * (g.ndim - 1))
+                dt = g.dtype
+                g = jnp.where(mask, g, 0).astype(
+                    jnp.int32 if jnp.issubdtype(dt, jnp.integer) else dt
+                )
+                g = jax.lax.psum_scatter(
+                    g, "data", scatter_dimension=0, tiled=True
+                )
+                return g.astype(dt)
+
+            return contrib(rows_l), contrib(labs_l)
+
+        return jax.shard_map(
+            body,
+            mesh=self.ctx.mesh,
+            in_specs=(P("data"), P("data"), P()),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )(images, labels, idx)
+
     def gather_batch(self, images, labels, idx: jax.Array):
         """Inside-jit batch materialization. idx: (B,) int32."""
-        rows = jnp.take(images, idx, axis=0)
-        labs = jnp.take(labels, idx, axis=0)
+        if self.row_sharded and idx.shape[0] % self.ctx.n_data == 0:
+            rows, labs = self._sharded_take(images, labels, idx)
+        else:
+            rows = jnp.take(images, idx, axis=0)
+            labs = jnp.take(labels, idx, axis=0)
         b = idx.shape[0]
         if self.kind == "tokens":
             imgs = rows
