@@ -40,15 +40,27 @@ class Checkpointer:
         if template is not None:
             template = jax.tree_util.tree_map(np.asarray, jax.device_get(template))
         try:
-            return self._ckptr.restore(self.path, template)
-        except BaseException:
+            restored = self._ckptr.restore(self.path, template)
+        except Exception:
             if template is None or not hasattr(template, "hyper") \
                     or template.hyper is None:
                 raise
             # Checkpoints written before TrainState grew the `hyper`
             # field restore against a hyper-less template; the caller's
             # template values (derived from the trainer's hparams) fill
-            # the gap.
+            # the gap. If this fallback fails too, the implicit chain
+            # surfaces the original structure-mismatch error alongside.
             old = template.replace(hyper=None)
             restored = self._ckptr.restore(self.path, old)
             return restored.replace(hyper=template.hyper)
+        # Hyper precedence is the same on both restore paths: the
+        # trainer's current hparams win over whatever is on disk (run
+        # dirs already encode the config, so a differing on-disk hyper
+        # means the user changed hparams between runs).
+        if (
+            template is not None
+            and getattr(template, "hyper", None) is not None
+            and getattr(restored, "hyper", None) is not None
+        ):
+            restored = restored.replace(hyper=template.hyper)
+        return restored

@@ -47,8 +47,11 @@ class DevicePrefetcher:
                     # partial final batches are truncated to a multiple
                     # of the data axis (a no-op when n_data == 1) rather
                     # than padded with repeats, which would bias the
-                    # per-batch metric means
-                    q.put(shard_batch_truncated(self.mesh, batch))
+                    # per-batch metric means; batches smaller than the
+                    # mesh truncate to zero rows and are skipped
+                    sharded = shard_batch_truncated(self.mesh, batch)
+                    if sharded is not None:
+                        q.put(sharded)
             except BaseException as e:  # surface worker errors to consumer
                 err.append(e)
             finally:

@@ -162,11 +162,22 @@ def masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
     )
 
 
-def shard_batch_truncated(ctx: MeshContext, batch: Any) -> Any:
+def shard_batch_truncated(ctx: MeshContext, batch: Any) -> Optional[Any]:
     """Drops up to ``n_data - 1`` trailing rows so the leading axis
     divides the data axis, then device-puts sharded. A no-op on a
-    1-device data axis (the single-chip case): every batch divides."""
+    1-device data axis (the single-chip case): every batch divides.
+
+    Returns ``None`` when truncation would leave zero rows (a final
+    partial batch smaller than the data axis) — a zero-row batch makes
+    downstream per-batch means 0/0 NaNs, so callers must skip it.
+    """
     d = ctx.n_data
+    sizes = {np.asarray(x).shape[0] for x in jax.tree_util.tree_leaves(batch)}
+    if len(sizes) != 1:
+        raise ValueError(f"inconsistent leading dims in batch: {sizes}")
+    (n,) = sizes
+    if n // d == 0:
+        return None
 
     def _put(x):
         x = np.asarray(x)

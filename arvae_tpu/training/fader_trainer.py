@@ -251,6 +251,8 @@ class ImageFaderTrainer(ImageVAETrainer):
         for batch_num, batch in enumerate(loader):
             batch = self.process_batch(batch)
             batch = shard_batch_truncated(self.mesh, batch)
+            if batch is None:  # final partial batch smaller than the mesh
+                continue
             key = jax.random.fold_in(
                 self._base_key, (epoch_num + 1) * 100003 + batch_num * 2
             )

@@ -78,10 +78,13 @@ def main(batch_size, num_epochs, lr):
     ckpt = Checkpointer(judge_run_dir())
     for epoch in range(num_epochs):
         for images, labels in gen_train:
-            images, labels = shard_batch_truncated(
+            sharded = shard_batch_truncated(
                 ctx, (np.asarray(images, np.float32),
                       np.asarray(labels, np.int32))
             )
+            if sharded is None:  # final partial batch smaller than mesh
+                continue
+            images, labels = sharded
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, images, labels
             )

@@ -41,3 +41,18 @@ def test_restore_pre_hyper_checkpoint(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.params["w"]),
                                   _params()["w"])
     np.testing.assert_allclose(float(restored.hyper["gamma"]), 10.0)
+
+
+def test_restore_current_hparams_win_over_disk_hyper(tmp_path):
+    """Both restore paths adopt the trainer's CURRENT hyper values: a
+    user who edits beta between runs must not silently train with the
+    stale on-disk value (run dirs already encode the config)."""
+    ck = Checkpointer(str(tmp_path / "run"))
+    state = TrainState(params=_params(), opt_state={"m": np.zeros(3)},
+                       step=jnp.int32(3),
+                       hyper={"beta": jnp.float32(0.5)})
+    ck.save(state)
+    template = state.replace(hyper={"beta": jnp.float32(2.0)})
+    restored = ck.restore(template)
+    assert int(restored.step) == 3
+    np.testing.assert_allclose(float(restored.hyper["beta"]), 2.0)

@@ -79,3 +79,14 @@ def test_sharded_computation_matches_single_device():
     xs = shard_batch(ctx, x)
     ws = jax.device_put(w, ctx.replicated)
     np.testing.assert_allclose(f(xs, ws), f(x, w), rtol=1e-6)
+
+
+def test_shard_batch_truncated_zero_rows_returns_none():
+    """A final partial batch smaller than the data axis must be skipped
+    by the caller, not silently become a zero-row batch (0/0 NaNs in
+    downstream means)."""
+    ctx = create_mesh()
+    if ctx.n_data < 2:
+        return
+    x = np.arange(ctx.n_data - 1, dtype=np.float32).reshape(-1, 1)
+    assert shard_batch_truncated(ctx, x) is None
