@@ -8,8 +8,12 @@ embedding table, output head, per-beat inits) stays pinned in VMEM for
 the whole measure, the recurrent state (hidden states + fed-token
 embedding) is carried across grid steps in VMEM scratch, and the
 per-step tensors (logits, samples, saved hiddens) stream block by
-block — so VMEM usage is O(B·(V+H)) independent of T, and batch sizes
-into the thousands stay fused. The embedding lookup of the sampled
+block, and the per-beat conditioning (``gi_beat``/``tick_h0`` and their
+grad accumulators) streams per beat via block index maps — so VMEM
+usage is O(B·(V+H) + H²) independent of T. At the folk protocol scale
+(H=128, V=130) batches up to 1024 stay fused (measured on v5e; B=2048
+exceeds VMEM — see ``supports``); larger hidden sizes are bounded by
+the pinned 9H² weight+grad residents. The embedding lookup of the sampled
 token is a one-hot (B,V)@(V,E) matmul — an MXU gather; argmax is
 max+iota-min (``jnp.argmax`` fails this backend's Mosaic remote
 compile).
@@ -57,11 +61,20 @@ def supports(batch: int, hidden: int, num_layers: int, num_notes: int,
         return False
     if hidden % 128 != 0 or batch % 8 != 0:
         return False
-    # Per-step VMEM residents, independent of seq_len: a few (B,V)
-    # logit blocks + (B,H) states/carries + the beat-scaled grad
-    # accumulators (dgi_beat 12H + dtick 8H floats per row at 4 beats).
-    vmem = 4 * batch * (4 * num_notes + 34 * hidden)
-    return vmem < 12 * 1024 * 1024
+    # VMEM residents, independent of seq_len (the per-beat conditioning
+    # and its grad accumulators stream block-by-block since round 3):
+    # per-row ~4V (logit/one-hot blocks) + ~16H (states, carries, the
+    # current beat's gi/tick blocks + accumulators, gate temporaries),
+    # plus the pinned weights AND their in-VMEM grad accumulators,
+    # ~2*(9H^2 + H*V). Calibrated on TPU v5e (V=130): fused fwd+bwd
+    # runs at (B=1024, H=128) ~11.8 MB and (B=512, H=256) ~14.5 MB by
+    # this model, OOMs at (B=2048, H=128) ~21.5 MB and any batch of
+    # H=512 ~28+ MB (the 9H^2 terms alone blow the budget).
+    vmem = 4 * (
+        batch * (4 * num_notes + 16 * hidden)
+        + 2 * (9 * hidden * hidden + hidden * num_notes)
+    )
+    return vmem < 15 * 1024 * 1024
 
 
 def enabled(batch: int, hidden: int, num_layers: int, num_notes: int,
@@ -178,17 +191,19 @@ def _fwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
     def _():
         emb_scr[:] = x0_ref[:]
 
-    ib = t // ticks_per_beat
+    # gi_beat / tick_h0 arrive as per-beat (1, ...) blocks via their
+    # index maps (t // ticks_per_beat), so only the current beat's
+    # conditioning is VMEM-resident
     reset = (t % ticks_per_beat) == 0
     # t == 0 is always a reset step, so the scratch hiddens never leak
     # uninitialized state
-    h0 = jnp.where(reset, tick_h0_ref[ib, 0], h0_scr[:])
-    h1 = jnp.where(reset, tick_h0_ref[ib, 1], h1_scr[:])
+    h0 = jnp.where(reset, tick_h0_ref[0, 0], h0_scr[:])
+    h1 = jnp.where(reset, tick_h0_ref[0, 1], h1_scr[:])
     prev_emb = emb_scr[:]
 
     gi0 = (
         jnp.dot(prev_emb, w_ih0e_ref[:], preferred_element_type=jnp.float32)
-        + gi_beat_ref[ib]
+        + gi_beat_ref[0]
     )
     gh0 = (
         jnp.dot(h0, w_hh0_ref[:], preferred_element_type=jnp.float32)
@@ -266,15 +281,26 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
     seed = seed_ref[0]
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
 
-    # gradient accumulators live directly in the (VMEM-resident,
-    # constant-index) output blocks; only the hidden-grad carries need
-    # scratch
+    # gradient accumulators live directly in the VMEM-resident output
+    # blocks; only the hidden-grad carries need scratch. The weight
+    # accumulators are constant-index (zeroed once at k == 0); the
+    # beat-scaled ones (dgi_beat, dtick_h0) are per-beat blocks whose
+    # index map walks beats monotonically as t decreases, so each block
+    # is zeroed on its FIRST visit (the beat's last tick) and flushed
+    # when the walk leaves the beat.
+    first_visit = jnp.logical_or(
+        k == 0, (t % ticks_per_beat) == (ticks_per_beat - 1)
+    )
+
+    @pl.when(first_visit)
+    def _():
+        dgi_beat_ref[:] = jnp.zeros_like(dgi_beat_ref)
+        dtick_h0_ref[:] = jnp.zeros_like(dtick_h0_ref)
+
     @pl.when(k == 0)
     def _():
         dh0_scr[:] = jnp.zeros_like(dh0_scr)
         dh1_scr[:] = jnp.zeros_like(dh1_scr)
-        dgi_beat_ref[:] = jnp.zeros_like(dgi_beat_ref)
-        dtick_h0_ref[:] = jnp.zeros_like(dtick_h0_ref)
         dx0_ref[:] = jnp.zeros_like(dx0_ref)
         demb_ref[:] = jnp.zeros_like(demb_ref)
         dw_ih0e_ref[:] = jnp.zeros_like(dw_ih0e_ref)
@@ -287,14 +313,13 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
         dout_w_ref[:] = jnp.zeros_like(dout_w_ref)
         dout_b_ref[:] = jnp.zeros_like(dout_b_ref)
 
-    ib = t // ticks_per_beat
     reset = (t % ticks_per_beat) == 0
 
     # ---- recompute the step-t forward quantities ------------------------
     # (h*_tm1 blocks are index-clamped to row 0 at t==0, where reset
     # overrides them anyway)
-    h0_prev = jnp.where(reset, tick_h0_ref[ib, 0], h0_tm1_ref[0])
-    h1_prev = jnp.where(reset, tick_h0_ref[ib, 1], h1_tm1_ref[0])
+    h0_prev = jnp.where(reset, tick_h0_ref[0, 0], h0_tm1_ref[0])
+    h1_prev = jnp.where(reset, tick_h0_ref[0, 1], h1_tm1_ref[0])
 
     onehot_prev = (iota_v == samples_prev_ref[0, 0][:, None]
                    ).astype(jnp.float32)
@@ -304,7 +329,7 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
 
     gi0 = (
         jnp.dot(prev_emb, w_ih0e_ref[:], preferred_element_type=jnp.float32)
-        + gi_beat_ref[ib]
+        + gi_beat_ref[0]
     )
     gh0 = (
         jnp.dot(h0_prev, w_hh0_ref[:], preferred_element_type=jnp.float32)
@@ -355,7 +380,7 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
                                     w_hh0_ref[:])
     dw_hh0_ref[:] += _matT_a_b(h0_prev, dgh0)
     db_hh0_ref[:] += jnp.sum(dgh0, axis=0)
-    dgi_beat_ref[ib] += dgi0
+    dgi_beat_ref[0] += dgi0
     dw_ih0e_ref[:] += _matT_a_b(prev_emb, dgi0)
 
     dprev_emb = _a_bT(dgi0, w_ih0e_ref[:])  # (B, E)
@@ -367,8 +392,8 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
 
     # reset boundaries route the hidden grad to the per-beat inits
     zero_h = jnp.zeros((B, H), jnp.float32)
-    dtick_h0_ref[ib, 0] += jnp.where(reset, dh0_prev, zero_h)
-    dtick_h0_ref[ib, 1] += jnp.where(reset, dh1_prev, zero_h)
+    dtick_h0_ref[0, 0] += jnp.where(reset, dh0_prev, zero_h)
+    dtick_h0_ref[0, 1] += jnp.where(reset, dh1_prev, zero_h)
     dh0_scr[:] = jnp.where(reset, zero_h, dh0_prev)
     dh1_scr[:] = jnp.where(reset, zero_h, dh1_prev)
 
@@ -421,6 +446,16 @@ def _fwd_call(seq_len, train, dropout_rate, ticks_per_beat, sampling,
     )
     step3 = lambda t: (t, 0, 0)  # noqa: E731
     score3 = score.reshape(T, 1, B)
+    L = tick_h0.shape[1]
+    # per-beat streaming: only the current beat's conditioning rows are
+    # VMEM-resident (the index map is constant within a beat, so the
+    # block is fetched once per beat, not per tick)
+    beat3 = lambda t: (t // ticks_per_beat, 0, 0)  # noqa: E731
+    beat4 = lambda t: (t // ticks_per_beat, 0, 0, 0)  # noqa: E731
+    gi_beat_spec = pl.BlockSpec((1, B, 3 * H), beat3,
+                                memory_space=pltpu.VMEM)
+    tick_h0_spec = pl.BlockSpec((1, L, B, H), beat4,
+                                memory_space=pltpu.VMEM)
     weights, samples3, h0_all, h1_all = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -428,7 +463,7 @@ def _fwd_call(seq_len, train, dropout_rate, ticks_per_beat, sampling,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, B), step3, memory_space=pltpu.VMEM),  # score
-            _full(), _full(), _full(), _full(), _full(), _full(),
+            gi_beat_spec, tick_h0_spec, _full(), _full(), _full(), _full(),
             _full(), _full(), _full(), _full(), _full(), _full(), _full(),
         ],
         out_specs=(
@@ -492,9 +527,19 @@ def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, sampling,
     rev3 = lambda k: (T - 1 - k, 0, 0)  # noqa: E731
     # block at time t-1, clamped at t == 0 (overridden by reset there)
     revm13 = lambda k: (jnp.maximum(T - 2 - k, 0), 0, 0)  # noqa: E731
+    # per-beat streaming (reverse walk): the beat index is monotone
+    # non-increasing in k, so each per-beat block is resident exactly
+    # while its ticks are processed (zeroed on first visit in-kernel)
+    rbeat3 = lambda k: ((T - 1 - k) // ticks_per_beat, 0, 0)  # noqa: E731
+    rbeat4 = lambda k: ((T - 1 - k) // ticks_per_beat, 0, 0, 0)  # noqa: E731
 
+    L = tick_h0.shape[1]
+    gi_beat_spec = pl.BlockSpec((1, B, 3 * H), rbeat3,
+                                memory_space=pltpu.VMEM)
+    tick_h0_spec = pl.BlockSpec((1, L, B, H), rbeat4,
+                                memory_space=pltpu.VMEM)
     shapes = (
-        gi_beat, tick_h0, x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1,
+        x0, emb, w_ih0e, w_hh0, b_hh0, w_ih1, b_ih1,
         w_hh1, b_hh1, out_w, out_b,
     )
     grads = pl.pallas_call(
@@ -504,7 +549,7 @@ def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, sampling,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),  # score
-            _full(), _full(), _full(), _full(), _full(), _full(),
+            gi_beat_spec, tick_h0_spec, _full(), _full(), _full(), _full(),
             _full(), _full(), _full(), _full(), _full(), _full(), _full(),
             pl.BlockSpec((1, 1, B), revm13, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
@@ -513,11 +558,12 @@ def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, sampling,
             pl.BlockSpec((1, B, H), revm13, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, V), rev3, memory_space=pltpu.VMEM),
         ],
-        out_specs=tuple(
+        out_specs=(gi_beat_spec, tick_h0_spec) + tuple(
             _full(a.shape) for a in shapes
         ),
         out_shape=tuple(
-            jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in shapes
+            jax.ShapeDtypeStruct(a.shape, jnp.float32)
+            for a in (gi_beat, tick_h0) + shapes
         ),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),       # dh0 carry
