@@ -29,13 +29,21 @@ import jax.numpy as jnp
 GRUParams = Dict[str, jax.Array]
 
 
-def _use_fused_chain(batch: int, hidden: int) -> bool:
+def _use_fused_chain(batch: int, hidden: int,
+                     seq_len: Optional[int] = None) -> bool:
     """Route whole-sequence recurrences through the fused Pallas chain
     kernel (ops/gru_pallas.py) when the TPU tiling allows it.
 
     ``ARVAE_NO_GRU_PALLAS`` disables it; ``ARVAE_FORCE_GRU_PALLAS``
-    forces it off-TPU (interpret mode — used by the integration test)."""
+    forces it off-TPU (interpret mode — used by the integration test).
+    ``ARVAE_GRU_PALLAS_MIN_T`` (default 1) keeps very short recurrences
+    on the XLA scan — at T=4 (the beat RNN) a kernel launch pair per
+    layer can cost more than it saves (measured round 3: no win either
+    way at B=256, so the default stays 1)."""
     if os.environ.get("ARVAE_NO_GRU_PALLAS"):
+        return False
+    if seq_len is not None and seq_len < int(
+            os.environ.get("ARVAE_GRU_PALLAS_MIN_T", "1")):
         return False
     from arvae_tpu.ops.gru_pallas import supports_shapes
 
@@ -170,7 +178,7 @@ def gru_layer(
         gi_t = jnp.flip(gi_t, 0)
 
     b, h_dim = h0.shape
-    if _use_fused_chain(b, h_dim):
+    if _use_fused_chain(b, h_dim, gi_t.shape[0]):
         from arvae_tpu.ops.gru_pallas import gru_chain
 
         outs = gru_chain(
@@ -220,7 +228,7 @@ def bigru_layer(
     )  # (T, 2, B, 3H)
     h0 = jnp.stack([h0_f, h0_b])  # (2, B, H)
 
-    if _use_fused_chain(h0_f.shape[0], h0_f.shape[1]):
+    if _use_fused_chain(h0_f.shape[0], h0_f.shape[1], gi.shape[0]):
         from arvae_tpu.ops.gru_pallas import gru_chain
 
         outs = gru_chain(gi, w_hh, b_hh, h0)  # (T, 2, B, H)

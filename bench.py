@@ -142,12 +142,35 @@ def measure_music() -> float:
 
 
 def main():
+    import importlib.util
+
     ours = measure_ours()
     base = baseline_steps_per_sec()
     vs = ours / base if base == base else float("nan")
     music = measure_music()
     music_base = baseline_steps_per_sec("measure_vae_steps_per_sec")
     music_vs = music / music_base if music_base == music_base else float("nan")
+
+    # Roofline framing for the music step (VERDICT r2 item 5): analytic
+    # matmul FLOPs (the XLA cost model cannot see inside the Pallas
+    # custom calls) against the MEASURED dense-matmul peak of this chip.
+    # The "floor" is what the step would cost if its matmuls ran at
+    # dense-4096 speed — a lower bound no small-shape program reaches;
+    # vs_floor ~7-10x here is composition/launch overhead plus small-
+    # matmul MXU underutilization (docs/design.md round-3 attribution).
+    spec = importlib.util.spec_from_file_location(
+        "bench_measure_vae",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "bench_measure_vae.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    peak_tflops = mod.measure_peak_matmul_tflops()
+    flops_step = mod.analytic_matmul_flops()
+    step_ms = 1e3 / music
+    floor_ms = flops_step / (peak_tflops * 1e12) * 1e3
+    mfu_pct = flops_step * music / (peak_tflops * 1e12) * 100.0
+
     print(json.dumps({
         "metric": "dsprites_arvae_train_steps_per_sec_b128",
         "value": round(ours, 2),
@@ -157,6 +180,11 @@ def main():
         "measure_vae_vs_baseline": (
             round(music_vs, 2) if music_vs == music_vs else None
         ),
+        "measure_vae_step_ms": round(step_ms, 3),
+        "measure_vae_matmul_floor_ms": round(floor_ms, 4),
+        "measure_vae_vs_floor": round(step_ms / floor_ms, 2),
+        "measure_vae_mfu_pct": round(mfu_pct, 2),
+        "peak_matmul_tflops_measured": round(peak_tflops, 1),
     }))
 
 

@@ -144,6 +144,67 @@ def measure(decoder_type: str = "hier", batch: int = BATCH,
     return n / dt
 
 
+def analytic_matmul_flops(batch: int = BATCH, hidden: int = 128,
+                          vocab: int = VOCAB_SIZE, emb: int = 10,
+                          latent: int = 32, seq: int = 24) -> float:
+    """Matmul FLOPs of ONE training step (fwd + ~2x for bwd), counted
+    from the model architecture (the XLA cost model cannot see inside
+    the Pallas custom calls, so this is done by hand).
+
+    Dominant terms are the recurrent (B,H)@(H,3H) matmuls: encoder
+    2 layers x 2 dirs x T, decoder tick 24 x (gh0 + gi1 + gh1), beat
+    GRU 4 x 2 layers x (gi+gh); plus projections/heads and the
+    (B,V)@(V,E) one-hot embedding lookups.
+    """
+    B, H, V, E, L, T = batch, hidden, vocab, emb, latent, seq
+    mm = lambda m, k, n: 2.0 * m * k * n  # noqa: E731
+    fwd = 0.0
+    # encoder: input projections (hoisted) + recurrences, 2 layers x 2 dirs
+    fwd += 2 * mm(B * T, E, 3 * H) + 2 * mm(B * T, 2 * H, 3 * H)
+    fwd += 2 * 2 * T * mm(B, H, 3 * H)
+    # encoder heads: flatten(4H) -> 2H -> 2 x latent
+    fwd += mm(B, 4 * H, 2 * H) + 2 * mm(B, 2 * H, L)
+    # decoder: z2beat, beat GRU (4 steps, 2 layers), beat->tick heads
+    fwd += mm(B, L, 2 * H)
+    fwd += 4 * 2 * 2 * mm(B, H, 3 * H)  # beat gi+gh per layer-step
+    fwd += mm(4 * B, H, 2 * H) + mm(4 * B, H, H) + mm(4 * B, H, 3 * H)
+    # tick loop: 24 x (emb proj + gh0 + gi1 + gh1 + head + onehot-embed)
+    fwd += T * (mm(B, E, 3 * H) + 3 * mm(B, H, 3 * H)
+                + mm(B, H, V) + mm(B, V, E))
+    return 3.0 * fwd  # bwd ~ 2x fwd
+
+
+def measure_peak_matmul_tflops(n: int = 4096, iters: int = 128) -> float:
+    """Measured dense-matmul speed of light on this chip (f32), via the
+    slope of two chain lengths (cancels dispatch cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jax.random.normal(jax.random.key(0), (n, n))
+    b = jax.random.normal(jax.random.key(1), (n, n))
+
+    def chain(k):
+        @jax.jit
+        def go(a):
+            def body(x, _):
+                y = x @ b
+                return y * (1.0 / jnp.max(jnp.abs(y))), 0.0
+            x, _ = jax.lax.scan(body, a, jnp.arange(k))
+            return x.mean()
+        out = go(a)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            out = go(a)
+            float(np.asarray(out))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+    t_short, t_long = chain(iters // 4), chain(iters)
+    per = (t_long - t_short) / (iters - iters // 4)
+    return 2.0 * n ** 3 / per / 1e12
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--decoder", default="hier",

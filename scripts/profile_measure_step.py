@@ -48,6 +48,7 @@ def _time_chain(fn, *args, reps=20):
         # value-pull sync (tunneled transport: block_until_ready can
         # return before the queue drains)
         float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        # (chains return scalars, so this pull is cheap)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) / ITERS
 
@@ -81,7 +82,7 @@ def profile(batch: int):
             outs = gru_chain(g, w_hh, b_hh, h0)
             return g + 1e-6 * outs.mean(), outs[-1, 0, 0, 0]
         g, _ = jax.lax.scan(body, gi, jnp.arange(ITERS))
-        return g
+        return g.mean()
 
     @jax.jit
     def enc_fwdbwd_chain(gi):
@@ -91,7 +92,7 @@ def profile(batch: int):
             val, grad = jax.value_and_grad(loss)(g)
             return g + 1e-9 * grad, val
         g, _ = jax.lax.scan(body, gi, jnp.arange(ITERS))
-        return g
+        return g.mean()
 
     results["enc_layer_kernel_fwd_ms"] = _time_chain(enc_fwd_chain, gi) * 1e3
     results["enc_layer_kernel_fwdbwd_ms"] = (
@@ -130,7 +131,7 @@ def profile(batch: int):
             w = dec_call(gb, th)
             return (gb + 1e-6 * w.mean(), th), w[0, 0, 0]
         c, _ = jax.lax.scan(body, (gi_beat, tick_h0), jnp.arange(ITERS))
-        return c[0]
+        return c[0].mean()
 
     @jax.jit
     def dec_fwdbwd_chain(gi_beat, tick_h0):
@@ -141,7 +142,7 @@ def profile(batch: int):
             val, grads = jax.value_and_grad(loss, argnums=(0, 1))(gb, th)
             return (gb + 1e-9 * grads[0], th + 1e-9 * grads[1]), val
         c, _ = jax.lax.scan(body, (gi_beat, tick_h0), jnp.arange(ITERS))
-        return c[0]
+        return c[0].mean()
 
     results["dec_kernel_fwd_ms"] = (
         _time_chain(dec_fwd_chain, gi_beat, tick_h0) * 1e3)
@@ -191,7 +192,7 @@ def profile(batch: int):
                 return (optax.apply_updates(p, updates), o), 0.0
             st, _ = jax.lax.scan(body, (params, opt_state),
                                  jnp.arange(ITERS))
-            return st[0]
+            return jax.tree_util.tree_leaves(st[0])[0].mean()
         return run
 
     results["encode_step_ms"] = _time_chain(
@@ -215,7 +216,7 @@ def profile(batch: int):
             val, grads = jax.value_and_grad(loss, argnums=(0, 1))(w, z)
             return (w + 1e-9 * grads[0], z + 1e-9 * grads[1]), val
         c, _ = jax.lax.scan(body, (w, z), jnp.arange(ITERS))
-        return c[0]
+        return c[0].mean()
 
     results["glue_losses_ms"] = _time_chain(glue_chain, out_weights, z) * 1e3
 
@@ -229,12 +230,23 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--trace", default=None)
     args = ap.parse_args()
-    if args.trace:
-        import jax
-        with jax.profiler.trace(args.trace):
-            res = profile(args.batch)
-    else:
-        res = profile(args.batch)
+    global ITERS
+    # two chain lengths; the slope cancels the (large, ~60 ms on this
+    # tunneled transport) fixed per-dispatch cost that a single-length
+    # measurement folds into every component equally
+    ITERS = 64
+    r64 = profile(args.batch)
+    ITERS = 256
+    r256 = profile(args.batch)
+    res = {}
+    for k in r64:
+        if k.startswith("derived"):
+            continue
+        res[k] = (256 * r256[k] - 64 * r64[k]) / 192.0
+    res["derived_decoder_path_ms"] = round(
+        res["full_step_ms"] - res["encode_step_ms"], 4)
+    res["fixed_dispatch_ms_estimate"] = round(
+        64 * (r64["full_step_ms"] - res["full_step_ms"]), 2)
     print(json.dumps({k: round(v, 4) for k, v in res.items()}, indent=2))
 
 
