@@ -497,6 +497,7 @@ class MeasureVAE(nn.Module):
     decoder_hidden_size: int = 512
     decoder_dropout_prob: float = 0.5
     decoder_type: str = "hier"
+    sampling: str = "argmax"  # feedback sampling: 'argmax' | 'multinomial'
 
     def setup(self):
         self.encoder = Encoder(
@@ -521,6 +522,7 @@ class MeasureVAE(nn.Module):
             num_layers=self.num_decoder_layers,
             dropout=self.decoder_dropout_prob,
             z_dim=self.latent_space_dim,
+            sampling=self.sampling,
         )
 
     def encode(self, score, train: bool = True, dropout_rng=None):

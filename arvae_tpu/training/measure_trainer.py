@@ -80,6 +80,8 @@ class MeasureVAETrainer(BaseTrainer):
         decoder_tag = {
             "hier": "", "sr": "_SRDecoder", "sr-no-input": "_SRDecoderNoInput"
         }.get(getattr(self.model, "decoder_type", "hier"), "")
+        if getattr(self.model, "sampling", "argmax") != "argmax":
+            decoder_tag += "_" + self.model.sampling
         return (
             self.dataset_type + "_MeasureVAE" + decoder_tag
             + trainer_config_string(self.hparams)

@@ -59,6 +59,14 @@ from arvae_tpu.training.measure_trainer import MeasureVAETrainer
               help="attribute name(s) used for regularization")
 @click.option("--short/--full", default=False,
               help="use the small synthetic corpus for quick runs")
+@click.option("--sampling", default="argmax",
+              type=click.Choice(["argmax", "multinomial"]),
+              help="free-running feedback sampling in the decoder "
+                   "(reference decoder.py:97 `self.sampling`)")
+@click.option("--glsr/--no_glsr", "use_glsr", default=False,
+              help="train with Geodesic Latent Space Regularization "
+                   "instead of the AR reg loss "
+                   "(reference measurevae/vae_trainer_glsr.py)")
 def main(
     dataset_type,
     note_embedding_dim,
@@ -84,6 +92,8 @@ def main(
     rand,
     reg_type,
     short,
+    sampling,
+    use_glsr,
 ):
     num_bars = 1
     if dataset_type == "bach":
@@ -126,19 +136,36 @@ def main(
             decoder_hidden_size=decoder_hidden_size,
             decoder_dropout_prob=decoder_dropout_prob,
             decoder_type=decoder_type,
+            sampling=sampling,
         )
-        trainer = MeasureVAETrainer(
-            dataset=dataset,
-            model=model,
-            lr=lr,
-            reg_type=reg_type,
-            reg_dim=reg_dim,
-            beta=beta,
-            capacity=capacity,
-            gamma=gamma,
-            delta=delta,
-            rand=r,
-        )
+        if use_glsr:
+            from arvae_tpu.training.glsr_trainer import MeasureVAETrainerGLSR
+
+            glsr_reg = (reg_type[0] if reg_type and reg_type[0] in attr_dict
+                        else "rhy_complexity")
+            trainer = MeasureVAETrainerGLSR(
+                dataset=dataset,
+                model=model,
+                lr=lr,
+                reg_type=glsr_reg,
+                reg_dim=attr_dict.get(glsr_reg, 0),
+                beta=beta,
+                gamma=gamma,
+                rand=r,
+            )
+        else:
+            trainer = MeasureVAETrainer(
+                dataset=dataset,
+                model=model,
+                lr=lr,
+                reg_type=reg_type,
+                reg_dim=reg_dim,
+                beta=beta,
+                capacity=capacity,
+                gamma=gamma,
+                delta=delta,
+                rand=r,
+            )
 
         if do_train:
             trainer.train_model(batch_size=batch_size, num_epochs=num_epochs,
