@@ -56,7 +56,10 @@ def run_surface(tester, label: str):
     loss, acc = tester.test_model(batch_size=256)
     print(f"[{label}] test loss {loss:.4f} acc {acc:.4f}", flush=True)
 
-    for attr in MUSIC_REG_TYPE:
+    # the tester's attribute vocabulary mirrors the reference
+    # (vae_tester.py:58-111), which differs from the trainer reg names
+    for attr in ("rhy_complexity", "num_notes", "note_range",
+                 "rhy_entropy", "beat_strength"):
         dim, r2 = tester.test_interpretability(256, attr)
         print(f"[{label}] interpretability {attr}: dim {dim} "
               f"R2 {r2:.3f}", flush=True)
