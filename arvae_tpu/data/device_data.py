@@ -138,8 +138,22 @@ class DeviceSplit:
 
     def gather_batch(self, images, labels, idx: jax.Array):
         """Inside-jit batch materialization. idx: (B,) int32."""
-        if self.row_sharded and idx.shape[0] % self.ctx.n_data == 0:
-            rows, labs = self._sharded_take(images, labels, idx)
+        if self.row_sharded:
+            b = idx.shape[0]
+            d = self.ctx.n_data
+            if b % d == 0:
+                rows, labs = self._sharded_take(images, labels, idx)
+            else:
+                # Pad idx up to the data axis (repeating the last index)
+                # so the gather stays shard-local — a plain jnp.take on
+                # the row-sharded table would make XLA all-gather the
+                # whole dataset — then drop the pad rows.
+                pad = ((b + d - 1) // d) * d - b
+                idx_p = jnp.concatenate(
+                    [idx, jnp.broadcast_to(idx[-1:], (pad,))])
+                rows, labs = self._sharded_take(images, labels, idx_p)
+                rows = rows[:b]
+                labs = labs[:b]
         else:
             rows = jnp.take(images, idx, axis=0)
             labs = jnp.take(labels, idx, axis=0)

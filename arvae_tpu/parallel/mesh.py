@@ -123,6 +123,15 @@ def shard_batch(ctx: MeshContext, batch: Any) -> Any:
     return jax.tree_util.tree_map(_put, batch)
 
 
+def _leading_dim(batch: Any) -> int:
+    """The common leading-axis size of every leaf, or raises."""
+    sizes = {np.asarray(x).shape[0] for x in jax.tree_util.tree_leaves(batch)}
+    if len(sizes) != 1:
+        raise ValueError(f"inconsistent leading dims in batch: {sizes}")
+    (n,) = sizes
+    return n
+
+
 def shard_batch_padded(ctx: MeshContext, batch: Any) -> Tuple[Any, jax.Array]:
     """Zero-pads each array's leading axis up to a multiple of the data
     axis and device-puts it sharded; returns ``(batch, mask)`` where
@@ -131,10 +140,7 @@ def shard_batch_padded(ctx: MeshContext, batch: Any) -> Tuple[Any, jax.Array]:
     Reductions over the padded batch stay exact through
     ``masked_mean(values, mask)``.
     """
-    sizes = {np.asarray(x).shape[0] for x in jax.tree_util.tree_leaves(batch)}
-    if len(sizes) != 1:
-        raise ValueError(f"inconsistent leading dims in batch: {sizes}")
-    (n,) = sizes
+    n = _leading_dim(batch)
     n_pad = ctx.pad_batch(n)
 
     def _put(x):
@@ -172,11 +178,7 @@ def shard_batch_truncated(ctx: MeshContext, batch: Any) -> Optional[Any]:
     downstream per-batch means 0/0 NaNs, so callers must skip it.
     """
     d = ctx.n_data
-    sizes = {np.asarray(x).shape[0] for x in jax.tree_util.tree_leaves(batch)}
-    if len(sizes) != 1:
-        raise ValueError(f"inconsistent leading dims in batch: {sizes}")
-    (n,) = sizes
-    if n // d == 0:
+    if _leading_dim(batch) // d == 0:
         return None
 
     def _put(x):

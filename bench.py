@@ -126,24 +126,32 @@ def baseline_steps_per_sec(key: str = "dsprites_arvae_steps_per_sec") -> float:
     return float("nan")
 
 
+_music_mod = None
+
+
+def music_bench_module():
+    """scripts/bench_measure_vae.py, loaded once per process."""
+    global _music_mod
+    if _music_mod is None:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_measure_vae",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "bench_measure_vae.py"),
+        )
+        _music_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(_music_mod)
+    return _music_mod
+
+
 def measure_music() -> float:
     """MeasureVAE training throughput (the second headline workload,
     reference hot loop measurevae/decoder.py:469-525)."""
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "bench_measure_vae",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "scripts", "bench_measure_vae.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.measure("hier", measure_steps=1536)
+    return music_bench_module().measure("hier", measure_steps=1536)
 
 
 def main():
-    import importlib.util
-
     ours = measure_ours()
     base = baseline_steps_per_sec()
     vs = ours / base if base == base else float("nan")
@@ -158,13 +166,7 @@ def main():
     # dense-4096 speed — a lower bound no small-shape program reaches;
     # vs_floor ~7-10x here is composition/launch overhead plus small-
     # matmul MXU underutilization (docs/design.md round-3 attribution).
-    spec = importlib.util.spec_from_file_location(
-        "bench_measure_vae",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "scripts", "bench_measure_vae.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    mod = music_bench_module()
     peak_tflops = mod.measure_peak_matmul_tflops()
     flops_step = mod.analytic_matmul_flops()
     step_ms = 1e3 / music

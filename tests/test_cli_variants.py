@@ -51,3 +51,21 @@ def test_multinomial_cli_trains_and_evals(env):
     results = json.load(open(
         env / "models" / multi[0] / "results_dict.json"))
     assert "Corr_score" in results
+
+
+def test_glsr_note_density_maps_to_num_notes(env):
+    out = _run(["--rand", "0", "--glsr", "-r", "note_density", "--short",
+                "--num_epochs", "1", "--batch_size", "32"])
+    runs = [r for r in os.listdir(env / "models") if "GLSR" in r]
+    assert runs and "num_notes" in runs[0], runs
+
+
+def test_glsr_rejects_unsupported_reg(env):
+    import train_measure_vae
+    runner = CliRunner()
+    result = runner.invoke(
+        train_measure_vae.main,
+        ["--glsr", "-r", "pitch_range", "--short", "--num_epochs", "1"],
+    )
+    assert result.exit_code != 0
+    assert "differentiable" in result.output

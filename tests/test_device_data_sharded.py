@@ -101,3 +101,17 @@ def test_epoch_runner_losses_identical(ctx, data):
     np.testing.assert_allclose(t_s, t_r, rtol=1e-6)
     np.testing.assert_allclose(e_s, e_r, rtol=1e-6)
     np.testing.assert_allclose(w_s, w_r, rtol=1e-6)
+
+
+@pytest.mark.parametrize("b", [5, 12, 13])
+def test_nondivisible_batch_stays_shard_local(ctx, data, b):
+    """Batches that don't divide the data axis ride the padded
+    shard_map gather (no dataset all-gather) and still match the
+    replicated result."""
+    sharded, repl = _splits(ctx, data, "bytes")
+    idx = jnp.asarray(np.random.RandomState(4).permutation(N)[:b]
+                      .astype(np.int32))
+    got = jax.jit(sharded.gather_batch)(sharded.images, sharded.labels, idx)
+    want = jax.jit(repl.gather_batch)(repl.images, repl.labels, idx)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

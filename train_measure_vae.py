@@ -141,14 +141,30 @@ def main(
         if use_glsr:
             from arvae_tpu.training.glsr_trainer import MeasureVAETrainerGLSR
 
-            glsr_reg = (reg_type[0] if reg_type and reg_type[0] in attr_dict
-                        else "rhy_complexity")
+            # GLSR's differentiable surrogate exists for two attributes
+            # (reference vae_trainer_glsr.py compute_grad_attr); the CLI
+            # name note_density maps to the surrogate's num_notes.
+            glsr_supported = {"rhy_complexity": "rhy_complexity",
+                              "note_density": "num_notes"}
+            if reg_type and reg_type[0] != "all" and (
+                    len(reg_type) > 1
+                    or reg_type[0] not in glsr_supported):
+                raise click.BadParameter(
+                    "--glsr takes a single reg type with a differentiable"
+                    f" surrogate: {sorted(glsr_supported)}"
+                )
+            if not reg_type or reg_type[0] == "all":
+                click.echo("--glsr regularizes one attribute; "
+                           "defaulting to rhy_complexity")
+                chosen = "rhy_complexity"
+            else:
+                chosen = reg_type[0]
             trainer = MeasureVAETrainerGLSR(
                 dataset=dataset,
                 model=model,
                 lr=lr,
-                reg_type=glsr_reg,
-                reg_dim=attr_dict.get(glsr_reg, 0),
+                reg_type=glsr_supported[chosen],
+                reg_dim=attr_dict[chosen],
                 beta=beta,
                 gamma=gamma,
                 rand=r,
