@@ -115,3 +115,23 @@ def test_nondivisible_batch_stays_shard_local(ctx, data, b):
     want = jax.jit(repl.gather_batch)(repl.images, repl.labels, idx)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_sharded_gather_on_4x2_mesh(data):
+    """Row sharding + psum_scatter gather with a nontrivial model axis:
+    rows shard over data=4, replicate over model=2."""
+    ctx42 = create_mesh(devices=jax.devices()[:8], data_parallel=4,
+                        model_parallel=2)
+    rows, labels = data
+    sharded = DeviceSplit(rows, labels, (D,), "bytes", ctx42,
+                          row_sharded=True)
+    repl = DeviceSplit(rows, labels, (D,), "bytes", ctx42,
+                       row_sharded=False)
+    idx = jnp.asarray(np.random.RandomState(2).permutation(N)[:B]
+                      .astype(np.int32))
+    got = jax.jit(sharded.gather_batch)(sharded.images, sharded.labels, idx)
+    want = jax.jit(repl.gather_batch)(repl.images, repl.labels, idx)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    per_dev = {s.data.shape[0] for s in sharded.images.addressable_shards}
+    assert per_dev == {-(-N // 4)}  # N/4 rows per chip, replicated on model
