@@ -114,7 +114,32 @@ def measure_ours() -> float:
         n += K
     float(sums["loss"])  # sync
     dt = time.perf_counter() - t0
-    return n / dt
+
+    return n / dt, image_analytic_flops(BATCH)
+
+
+def image_analytic_flops(batch: int) -> float:
+    """Conv+dense matmul FLOPs of ONE DspritesVAE training step
+    (fwd + ~2x bwd), counted from the architecture (the XLA cost model
+    under-reports convolutions on this backend by ~30x, so hand count:
+    4x Conv(32,k4,s2) 64->4 + dense stack, mirrored ConvTranspose
+    decoder)."""
+    mm = lambda m, k, n_: 2.0 * m * k * n_  # noqa: E731
+    conv = lambda hw, cout, cin: mm(hw * hw, cout, 16 * cin)  # noqa: E731
+    fwd = 0.0
+    # encoder convs: 64->32->16->8->4, 32 channels
+    fwd += conv(32, 32, 1) + conv(16, 32, 32) + conv(8, 32, 32) \
+        + conv(4, 32, 32)
+    # dense stack 512 -> 256 -> 256 -> 2 x z(10); decoder mirrors
+    fwd += mm(1, 512, 256) + mm(1, 256, 256) + 2 * mm(1, 256, 10)
+    fwd += mm(1, 10, 256) + mm(1, 256, 256) + mm(1, 256, 512)
+    # decoder transposed convs (k4 s2): each output pixel sees only
+    # (k/s)^2 = 4 input taps, so 4*cin not 16*cin; output grids
+    # 8, 16, 32, 64
+    tconv = lambda hw, cout, cin: mm(hw * hw, cout, 4 * cin)  # noqa: E731
+    fwd += tconv(8, 32, 32) + tconv(16, 32, 32) + tconv(32, 32, 32) \
+        + tconv(64, 1, 32)
+    return 3.0 * batch * fwd
 
 
 def baseline_steps_per_sec(key: str = "dsprites_arvae_steps_per_sec") -> float:
@@ -152,7 +177,7 @@ def measure_music() -> float:
 
 
 def main():
-    ours = measure_ours()
+    ours, image_flops_step = measure_ours()
     base = baseline_steps_per_sec()
     vs = ours / base if base == base else float("nan")
     music = measure_music()
@@ -186,6 +211,11 @@ def main():
         "measure_vae_matmul_floor_ms": round(floor_ms, 4),
         "measure_vae_vs_floor": round(step_ms / floor_ms, 2),
         "measure_vae_mfu_pct": round(mfu_pct, 2),
+        "dsprites_step_ms": round(1e3 / ours, 3),
+        "dsprites_mfu_pct": (
+            round(image_flops_step * ours / (peak_tflops * 1e12) * 100.0, 2)
+            if image_flops_step == image_flops_step else None
+        ),
         "peak_matmul_tflops_measured": round(peak_tflops, 1),
     }))
 
