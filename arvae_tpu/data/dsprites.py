@@ -156,12 +156,15 @@ class DspritesDataset:
         seed: int = 0,
     ):
         if root is None:
-            root = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                os.pardir,
-                "datasets",
-                "dsprites",
+            base = os.environ.get(
+                "ARVAE_DATASETS_DIR",
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.pardir,
+                    "datasets",
+                ),
             )
+            root = os.path.join(base, "dsprites")
         self.root = os.path.abspath(root)
         self.factor_sizes = tuple(factor_sizes)
         self.seed = seed

@@ -36,12 +36,15 @@ SYNTH_TEST = 2048
 
 
 def _default_root() -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        os.pardir,
-        "datasets",
-        "mnist_data",
+    base = os.environ.get(
+        "ARVAE_DATASETS_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            os.pardir,
+            "datasets",
+        ),
     )
+    return os.path.join(base, "mnist_data")
 
 
 def _measure_images(imgs_u8: np.ndarray) -> np.ndarray:

@@ -105,17 +105,21 @@ def measure_ours() -> float:
         i += K
     float(sums["loss"])
 
-    t0 = time.perf_counter()
-    n = 0
-    while n < MEASURE_STEPS:
-        state, sums, _ = chunk(state, split.images, split.labels, perm,
-                               WARMUP_STEPS + n,
-                               jax.random.fold_in(jax.random.key(3), n))
-        n += K
-    float(sums["loss"])  # sync
-    dt = time.perf_counter() - t0
+    # Median of 3 windows — the tunneled transport's run-to-run
+    # variance (~±10%) would otherwise land wholesale on one sample.
+    rates = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        n = 0
+        while n < MEASURE_STEPS:
+            state, sums, _ = chunk(state, split.images, split.labels, perm,
+                                   WARMUP_STEPS + n,
+                                   jax.random.fold_in(jax.random.key(3 + w), n))
+            n += K
+        float(sums["loss"])  # sync
+        rates.append(n / (time.perf_counter() - t0))
 
-    return n / dt, image_analytic_flops(BATCH)
+    return sorted(rates)[1], image_analytic_flops(BATCH)
 
 
 def image_analytic_flops(batch: int) -> float:
@@ -176,13 +180,68 @@ def measure_music() -> float:
     return music_bench_module().measure("hier", measure_steps=1536)
 
 
+def _discover_devices(timeout_s: int = 300):
+    """Fail fast if the tunneled TPU backend hangs at discovery.
+
+    When the axon relay dies, jax platform init blocks forever inside
+    the plugin's C handshake (the axon,cpu priority list never falls
+    through, and a SIGALRM handler never runs because the main thread
+    never returns to the interpreter — measured). Probe discovery in a
+    kill-able subprocess instead; it exits before this process touches
+    the TPU, so the one-process-per-chip rule holds. Healthy discovery
+    takes ~10 s; compiles happen later and are not under the timeout.
+    """
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        timeout=timeout_s, capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"device probe exited {proc.returncode}: {proc.stderr[-200:]}"
+        )
+
+
 def main():
+    try:
+        _discover_devices()
+    except Exception as e:
+        print(json.dumps({
+            "metric": "dsprites_arvae_train_steps_per_sec_b128",
+            "value": 0.0,
+            "unit": "steps/sec",
+            "vs_baseline": None,
+            "error": f"backend unavailable: {e!r}"[:200],
+        }))
+        return
+
     ours, image_flops_step = measure_ours()
     base = baseline_steps_per_sec()
     vs = ours / base if base == base else float("nan")
-    music = measure_music()
-    music_base = baseline_steps_per_sec("measure_vae_steps_per_sec")
-    music_vs = music / music_base if music_base == music_base else float("nan")
+    out = {
+        "metric": "dsprites_arvae_train_steps_per_sec_b128",
+        "value": round(ours, 2),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+        "dsprites_step_ms": round(1e3 / ours, 3),
+    }
+
+    # The secondary workload and the roofline framing must never cost us
+    # the headline line: a flaky tunnel mid-bench degrades to nulls.
+    try:
+        music = measure_music()
+        music_base = baseline_steps_per_sec("measure_vae_steps_per_sec")
+        music_vs = (music / music_base if music_base == music_base
+                    else float("nan"))
+        out["measure_vae_steps_per_sec_b256"] = round(music, 2)
+        out["measure_vae_vs_baseline"] = (
+            round(music_vs, 2) if music_vs == music_vs else None
+        )
+    except Exception as e:  # pragma: no cover - transport failure path
+        music = float("nan")
+        out["measure_vae_error"] = repr(e)[:200]
 
     # Roofline framing for the music step (VERDICT r2 item 5): analytic
     # matmul FLOPs (the XLA cost model cannot see inside the Pallas
@@ -191,33 +250,25 @@ def main():
     # dense-4096 speed — a lower bound no small-shape program reaches;
     # vs_floor ~7-10x here is composition/launch overhead plus small-
     # matmul MXU underutilization (docs/design.md round-3 attribution).
-    mod = music_bench_module()
-    peak_tflops = mod.measure_peak_matmul_tflops()
-    flops_step = mod.analytic_matmul_flops()
-    step_ms = 1e3 / music
-    floor_ms = flops_step / (peak_tflops * 1e12) * 1e3
-    mfu_pct = flops_step * music / (peak_tflops * 1e12) * 100.0
+    try:
+        mod = music_bench_module()
+        peak_tflops = mod.measure_peak_matmul_tflops()
+        out["peak_matmul_tflops_measured"] = round(peak_tflops, 1)
+        out["dsprites_mfu_pct"] = round(
+            image_flops_step * ours / (peak_tflops * 1e12) * 100.0, 2)
+        if music == music:
+            flops_step = mod.analytic_matmul_flops()
+            step_ms = 1e3 / music
+            floor_ms = flops_step / (peak_tflops * 1e12) * 1e3
+            out["measure_vae_step_ms"] = round(step_ms, 3)
+            out["measure_vae_matmul_floor_ms"] = round(floor_ms, 4)
+            out["measure_vae_vs_floor"] = round(step_ms / floor_ms, 2)
+            out["measure_vae_mfu_pct"] = round(
+                flops_step * music / (peak_tflops * 1e12) * 100.0, 2)
+    except Exception as e:  # pragma: no cover - transport failure path
+        out["roofline_error"] = repr(e)[:200]
 
-    print(json.dumps({
-        "metric": "dsprites_arvae_train_steps_per_sec_b128",
-        "value": round(ours, 2),
-        "unit": "steps/sec",
-        "vs_baseline": round(vs, 2) if vs == vs else None,
-        "measure_vae_steps_per_sec_b256": round(music, 2),
-        "measure_vae_vs_baseline": (
-            round(music_vs, 2) if music_vs == music_vs else None
-        ),
-        "measure_vae_step_ms": round(step_ms, 3),
-        "measure_vae_matmul_floor_ms": round(floor_ms, 4),
-        "measure_vae_vs_floor": round(step_ms / floor_ms, 2),
-        "measure_vae_mfu_pct": round(mfu_pct, 2),
-        "dsprites_step_ms": round(1e3 / ours, 3),
-        "dsprites_mfu_pct": (
-            round(image_flops_step * ours / (peak_tflops * 1e12) * 100.0, 2)
-            if image_flops_step == image_flops_step else None
-        ),
-        "peak_matmul_tflops_measured": round(peak_tflops, 1),
-    }))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

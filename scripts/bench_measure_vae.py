@@ -133,15 +133,20 @@ def measure(decoder_type: str = "hier", batch: int = BATCH,
         i += K
     float(last["loss"])  # value-pull sync (see bench.py)
 
-    t0 = time.perf_counter()
-    n = 0
-    while n < measure_steps:
-        state, last = chunk(state, scores, perm, n // K % (N_ROWS // batch // K),
-                            jax.random.fold_in(jax.random.key(3), n))
-        n += K
-    float(last["loss"])
-    dt = time.perf_counter() - t0
-    return n / dt
+    # Median of 3 windows: the tunneled transport adds run-to-run
+    # variance (~±10%) that a single window inherits wholesale.
+    rates = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        n = 0
+        while n < measure_steps:
+            state, last = chunk(state, scores, perm,
+                                n // K % (N_ROWS // batch // K),
+                                jax.random.fold_in(jax.random.key(3 + w), n))
+            n += K
+        float(last["loss"])
+        rates.append(n / (time.perf_counter() - t0))
+    return sorted(rates)[1]
 
 
 def analytic_matmul_flops(batch: int = BATCH, hidden: int = 128,
