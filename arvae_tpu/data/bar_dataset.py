@@ -70,8 +70,15 @@ class Score:
 
 
 def _default_datasets_dir() -> str:
+    # Repo-relative like mnist.py/dsprites.py (not cwd-relative), so all
+    # dataset roots land in one place regardless of invocation dir.
     return os.environ.get(
-        "ARVAE_DATASETS_DIR", os.path.join(os.getcwd(), "datasets")
+        "ARVAE_DATASETS_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            os.pardir,
+            "datasets",
+        ),
     )
 
 

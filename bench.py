@@ -30,7 +30,7 @@ WARMUP_STEPS = 512
 MEASURE_STEPS = 8192
 
 
-def measure_ours() -> float:
+def measure_ours() -> "tuple[float, float]":
     import jax
     import jax.numpy as jnp
     import optax
@@ -95,12 +95,18 @@ def measure_ours() -> float:
     chunk = runner._train_chunk(K)
     perm = jax.random.permutation(jax.random.key(1), split.n).astype(jnp.int32)
 
+    # Step offsets must stay inside the 4032-step permutation: the
+    # gather's dynamic_slice clamps out-of-range starts, which would
+    # silently re-train the same tail batch for every overrun step.
+    n_chunk_starts = (N_ROWS // BATCH // K) * K
+
     # warmup (compile + device warmup); float() materializes — on this
     # tunneled transport block_until_ready returns before the queue
     # drains, so value-pull is the only reliable sync
     i = 0
     while i < WARMUP_STEPS:
-        state, sums, _ = chunk(state, split.images, split.labels, perm, i,
+        state, sums, _ = chunk(state, split.images, split.labels, perm,
+                               i % n_chunk_starts,
                                jax.random.fold_in(jax.random.key(2), i))
         i += K
     float(sums["loss"])
@@ -113,7 +119,7 @@ def measure_ours() -> float:
         n = 0
         while n < MEASURE_STEPS:
             state, sums, _ = chunk(state, split.images, split.labels, perm,
-                                   WARMUP_STEPS + n,
+                                   (WARMUP_STEPS + n) % n_chunk_starts,
                                    jax.random.fold_in(jax.random.key(3 + w), n))
             n += K
         float(sums["loss"])  # sync
@@ -195,7 +201,12 @@ def _discover_devices(timeout_s: int = 300):
     import sys
 
     proc = subprocess.run(
-        [sys.executable, "-c", "import jax; jax.devices()"],
+        [sys.executable, "-c",
+         # A clean plugin failure falls through to the cpu platform,
+         # which would silently record host-CPU throughput under the
+         # TPU metric name — treat that as unavailable too.
+         "import jax; d = jax.devices(); "
+         "assert d[0].platform != 'cpu', f'cpu fallback: {d}'"],
         timeout=timeout_s, capture_output=True, text=True,
     )
     if proc.returncode != 0:
@@ -227,6 +238,30 @@ def main():
         "vs_baseline": round(vs, 2) if vs == vs else None,
         "dsprites_step_ms": round(1e3 / ours, 3),
     }
+
+    # The headline is now in hand; everything below enriches it. A
+    # mid-bench tunnel death usually raises (caught below), but the
+    # transport can also block forever in C — arm a watchdog thread
+    # that prints whatever `out` holds and exits, so the single JSON
+    # line survives either failure mode (the hang sits in network IO,
+    # which releases the GIL).
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def _bail():
+        if not done.is_set():
+            out["secondary_timeout"] = True
+            try:
+                print(json.dumps(out))
+                sys.stdout.flush()
+            finally:
+                os._exit(0)
+
+    watchdog = threading.Timer(900.0, _bail)
+    watchdog.daemon = True
+    watchdog.start()
 
     # The secondary workload and the roofline framing must never cost us
     # the headline line: a flaky tunnel mid-bench degrades to nulls.
@@ -268,6 +303,8 @@ def main():
     except Exception as e:  # pragma: no cover - transport failure path
         out["roofline_error"] = repr(e)[:200]
 
+    done.set()
+    watchdog.cancel()
     print(json.dumps(out))
 
 

@@ -11,7 +11,6 @@ import json
 import os
 import sys
 
-import numpy as np
 import pytest
 from click.testing import CliRunner
 
@@ -21,27 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 @pytest.fixture()
 def env(tmp_path, monkeypatch):
     """Tiny reference-format MNIST corpus + isolated run/dataset dirs."""
-    import pandas as pd
-
-    from arvae_tpu.data.morphomnist import io as idx_io
+    from conftest import write_reference_mnist_corpus
 
     monkeypatch.setenv("ARVAE_MODELS_DIR", str(tmp_path / "models"))
     monkeypatch.setenv("ARVAE_DATASETS_DIR", str(tmp_path / "ds"))
-    plain = tmp_path / "ds" / "mnist_data" / "plain"
-    plain.mkdir(parents=True)
-    rng = np.random.RandomState(0)
-    cols = ["digit_identity", "area", "length", "thickness", "slant",
-            "width", "height"]
-    for kind, n in (("train", 64), ("t10k", 32)):
-        imgs = (rng.rand(n, 28, 28) > 0.7).astype(np.uint8) * 255
-        labels = rng.randint(0, 10, n).astype(np.uint8)
-        idx_io.save_idx(imgs, str(plain / f"{kind}-images-idx3-ubyte.gz"))
-        idx_io.save_idx(labels, str(plain / f"{kind}-labels-idx1-ubyte.gz"))
-        morpho = np.concatenate(
-            [labels[:, None].astype(np.float32),
-             rng.rand(n, 6).astype(np.float32)], axis=1)
-        pd.DataFrame(morpho, columns=cols).to_csv(
-            str(plain / f"{kind}-morpho.csv"), index=False)
+    write_reference_mnist_corpus(tmp_path / "ds" / "mnist_data" / "plain")
     return tmp_path
 
 
@@ -82,8 +65,8 @@ def test_train_image_vae_cli_rejects_unknown_reg(env):
 def test_train_image_fader_cli_end_to_end(env):
     import train_image_fader
 
-    out = _invoke(train_image_fader.main,
-                  ["--rand", "0", "--num_epochs", "1", "--batch_size", "8"])
+    _invoke(train_image_fader.main,
+            ["--rand", "0", "--num_epochs", "1", "--batch_size", "8"])
     runs = [r for r in os.listdir(env / "models") if "Fader" in r]
     assert runs, os.listdir(env / "models")
     results = json.load(open(
@@ -91,7 +74,7 @@ def test_train_image_fader_cli_end_to_end(env):
     assert "interpretability" in results
 
 
-def test_judge_cli_trains_and_reports(env, capsys):
+def test_judge_cli_trains_and_reports(env):
     import test_mnist as judge_cli
 
     out = _invoke(judge_cli.main,

@@ -95,26 +95,10 @@ def test_folk_abc_ingestion_to_train_step(abc_corpus, tmp_path, monkeypatch):
 
 
 def test_mnist_idx_csv_ingestion_to_train_step(tmp_path):
-    import pandas as pd
-
-    from arvae_tpu.data.morphomnist import io as idx_io
+    from conftest import write_reference_mnist_corpus
 
     root = tmp_path / "mnist"
-    plain = root / "plain"
-    plain.mkdir(parents=True)
-    rng = np.random.RandomState(0)
-    cols = ["digit_identity", "area", "length", "thickness", "slant",
-            "width", "height"]
-    for kind, n in (("train", 64), ("t10k", 32)):
-        imgs = (rng.rand(n, 28, 28) > 0.7).astype(np.uint8) * 255
-        labels = rng.randint(0, 10, n).astype(np.uint8)
-        idx_io.save_idx(imgs, str(plain / f"{kind}-images-idx3-ubyte.gz"))
-        idx_io.save_idx(labels, str(plain / f"{kind}-labels-idx1-ubyte.gz"))
-        morpho = np.concatenate(
-            [labels[:, None].astype(np.float32),
-             rng.rand(n, 6).astype(np.float32)], axis=1)
-        pd.DataFrame(morpho, columns=cols).to_csv(
-            str(plain / f"{kind}-morpho.csv"), index=False)
+    write_reference_mnist_corpus(root / "plain")
 
     from arvae_tpu.data.mnist import MorphoMnistDataset
 
