@@ -126,9 +126,14 @@ def measure(decoder_type: str = "hier", batch: int = BATCH,
     state = (params, opt_state)
     perm = jax.random.permutation(jax.random.key(1), N_ROWS).astype(jnp.int32)
 
+    # i0 is a STEP index (the scan slices at (i0 + k) * batch); keep it
+    # K-aligned and inside the permutation so successive chunks cover
+    # disjoint batch windows with no clamped out-of-range slices.
+    n_chunk_starts = (N_ROWS // batch // K) * K
+
     i = 0
     while i < WARMUP_STEPS:
-        state, last = chunk(state, scores, perm, i // K % (N_ROWS // batch // K),
+        state, last = chunk(state, scores, perm, i % n_chunk_starts,
                             jax.random.fold_in(jax.random.key(2), i))
         i += K
     float(last["loss"])  # value-pull sync (see bench.py)
@@ -140,8 +145,7 @@ def measure(decoder_type: str = "hier", batch: int = BATCH,
         t0 = time.perf_counter()
         n = 0
         while n < measure_steps:
-            state, last = chunk(state, scores, perm,
-                                n // K % (N_ROWS // batch // K),
+            state, last = chunk(state, scores, perm, n % n_chunk_starts,
                                 jax.random.fold_in(jax.random.key(3 + w), n))
             n += K
         float(last["loss"])
