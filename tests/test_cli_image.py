@@ -51,6 +51,20 @@ def test_train_image_vae_cli_end_to_end(env):
     assert gifs
 
 
+def test_train_image_vae_cli_test_mode_reloads(env):
+    """--test loads the checkpoint written by --train and re-evals
+    (reference train_image_vae.py:31 --train/--test)."""
+    import train_image_vae
+
+    _invoke(train_image_vae.main,
+            ["--rand", "0", "-r", "all", "--num_epochs", "1",
+             "--batch_size", "8"])
+    out = _invoke(train_image_vae.main,
+                  ["--test", "--rand", "0", "-r", "all",
+                   "--num_epochs", "1", "--batch_size", "8"])
+    assert "interpretability" in out
+
+
 def test_train_image_vae_cli_rejects_unknown_reg(env):
     import train_image_vae
 
