@@ -182,9 +182,14 @@ class VAETester:
             batch_size=16, split=(0.7, 0.15)
         )
         batches = list(gen_test)
+        # the latents are deterministic given the per-batch fold-in keys,
+        # so one encoder harvest serves all three attribute colorings
+        z_all, _ = self._encode_batches(batches, None, sample=True)
+        scores = [self.trainer.process_batch(b)[0] for b in batches[:201]]
         for reg_type in ("rhy_complexity", "num_notes", "note_range"):
-            z_all, attr_all = self._encode_batches(batches, reg_type,
-                                                   sample=True)
+            attr_all = np.concatenate(
+                [self._attr(s, reg_type) for s in scores], 0
+            )
             fp = os.path.join(
                 self.plots_dir,
                 f"data_dist_{reg_type}_[{dim1},{dim2}].png",

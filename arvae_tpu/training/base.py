@@ -234,12 +234,26 @@ class BaseTrainer(abc.ABC):
                 self.state, totals, n, first = runner.train_epoch(
                     self.state, epoch_index
                 )
-                self._log_loss_split(first, epoch_index)
-                mean_loss_train = float(totals["loss"]) / n
-                mean_accuracy_train = float(totals.get("accuracy", 0.0)) / n
+                # A split smaller than batch_size yields zero steps and
+                # None totals — mirror the host path's 0.0 fallback
+                # (loss_and_acc_on_epoch) instead of crashing.
+                if first is not None:
+                    self._log_loss_split(first, epoch_index)
+                mean_loss_train = (
+                    float(totals["loss"]) / n if totals is not None else 0.0
+                )
+                mean_accuracy_train = (
+                    float(totals.get("accuracy", 0.0)) / n
+                    if totals is not None else 0.0
+                )
                 vtot, vn = runner.eval_epoch(self.state, epoch_index)
-                mean_loss_val = float(vtot["loss"]) / vn
-                mean_accuracy_val = float(vtot.get("accuracy", 0.0)) / vn
+                mean_loss_val = (
+                    float(vtot["loss"]) / vn if vtot is not None else 0.0
+                )
+                mean_accuracy_val = (
+                    float(vtot.get("accuracy", 0.0)) / vn
+                    if vtot is not None else 0.0
+                )
             else:
                 mean_loss_train, mean_accuracy_train = (
                     self.loss_and_acc_on_epoch(gen_train, epoch_index,

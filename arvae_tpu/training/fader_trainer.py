@@ -270,12 +270,16 @@ class ImageFaderTrainer(ImageVAETrainer):
     def compute_representations(self, data_loader, num_batches: int = 200):
         state = self.ensure_state()
 
-        @jax.jit
-        def enc(params, inputs):
-            return self.model.apply(
-                {"params": params}, inputs, train=False,
-                method="encode_deterministic",
-            )
+        if not hasattr(self, "_enc_det_jit"):
+
+            def enc(params, inputs):
+                return self.model.apply(
+                    {"params": params}, inputs, train=False,
+                    method="encode_deterministic",
+                )
+
+            self._enc_det_jit = jax.jit(enc)
+        enc = self._enc_det_jit
 
         latent_codes, attributes = [], []
         for sample_id, batch in enumerate(data_loader):
@@ -336,24 +340,16 @@ class ImageFaderTrainer(ImageVAETrainer):
         """Label-traversal grid: vary one normalized attribute 0→1."""
         from arvae_tpu.utils.plotting import make_grid
 
-        x1 = np.arange(0.0, 1.01, 0.1)
-        num_points = len(x1)
+        x1 = np.linspace(0.0, 1.0, num_points)
         z = np.repeat(np.asarray(latent_code[:1]), num_points, axis=0)
         l = np.repeat(np.asarray(labels[:1]), num_points, axis=0)
         l[:, dim1] = x1
-        state = self.ensure_state()
-
-        @jax.jit
-        def dec(params, z_in):
-            logits = self.model.apply(
-                {"params": params}, z_in, train=False, method="decode"
-            )
-            return jax.nn.sigmoid(logits)
-
-        outputs = np.asarray(
-            dec(state.params,
-                jnp.concatenate([jnp.asarray(z, jnp.float32),
-                                 jnp.asarray(l, jnp.float32)], axis=1))
+        # the fader decoder conditions on z || labels; the inherited
+        # cached decode() jit applies sigmoid and avoids a re-trace per
+        # call (eval_model invokes this once per attribute per epoch)
+        outputs = self.decode(
+            np.concatenate([z.astype(np.float32), l.astype(np.float32)],
+                           axis=1)
         )
         return make_grid(outputs, nrow=1, pad_value=1.0)
 

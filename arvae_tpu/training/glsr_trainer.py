@@ -86,10 +86,13 @@ class MeasureVAETrainerGLSR(MeasureVAETrainer):
         """Finite-difference attribute gradient under a N(100,1) prior
         (reference :45-84)."""
         B = z.shape[0]
-        deltas = (1.0 + jax.random.uniform(key, (B,))) * epsilon
+        # three independent streams — drawing from `key` AND splitting
+        # it would correlate the perturbation magnitudes with the two
+        # decode sampling keys
+        k_delta, k1, k2 = jax.random.split(key, 3)
+        deltas = (1.0 + jax.random.uniform(k_delta, (B,))) * epsilon
         d_z = jnp.zeros_like(z).at[:, self.glsr_reg_dim].set(deltas)
         dummy = jnp.zeros((B, MEASURE_SEQ_LEN), jnp.int32)
-        k1, k2 = jax.random.split(key)
         w_plus, _ = self.model.apply(
             {"params": params}, z + d_z, dummy, train=False, key=k1,
             method="decode",

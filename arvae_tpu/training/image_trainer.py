@@ -286,7 +286,8 @@ class ImageVAETrainer(BaseTrainer):
                                 batch_size: int = 128,
                                 use_device: bool = True):
         """Sampled-z latent harvest (reference image_vae_trainer.py:274-287)."""
-        if use_device and self._device_eval_split() is not None:
+        sp = self._device_eval_split() if use_device else None
+        if sp is not None and sp.n > 0:
             latent_codes, attributes = self._device_harvest(
                 batch_size, num_batches
             )
@@ -421,14 +422,24 @@ class ImageVAETrainer(BaseTrainer):
     # -- artifact generation (reference image_vae_trainer.py:370-580) -----------
 
     def plot_data_dist(self, latent_codes, attributes, attr_str, dim1=0, dim2=1):
+        """``attributes`` is the reduced matrix from
+        ``compute_representations`` (digit_identity/color dropped), so
+        the column is located in the reduced order — NOT via
+        ``self.attr_dict``, whose indices address the full matrix (the
+        reference has exactly that off-by-one,
+        image_vae_trainer.py:370-379)."""
         from arvae_tpu.utils.plotting import plot_dim
 
+        attr_list = [
+            a for a in self.attr_dict.keys()
+            if a not in ("digit_identity", "color")
+        ]
         save_filename = os.path.join(
             self.get_save_dir(self.run_dir), f"data_dist_{attr_str}.png"
         )
         return plot_dim(
             latent_codes,
-            attributes[:, self.attr_dict[attr_str]],
+            attributes[:, attr_list.index(attr_str)],
             save_filename,
             dim1=dim1,
             dim2=dim2,
@@ -622,7 +633,7 @@ class ImageVAETrainer(BaseTrainer):
         z[:, dim2] = z2.reshape(-1)
 
         mini_batch = 500
-        num_mini = num_points // mini_batch
+        num_mini = max(num_points // mini_batch, 1)
         labels_all = []
         for i in range(num_mini):
             zb = z[i * mini_batch : (i + 1) * mini_batch]

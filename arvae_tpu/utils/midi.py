@@ -125,8 +125,12 @@ def read_midi(path: str) -> List[NoteEvent]:
                     notes.append(
                         (pitch, start / division, (t - start) / division)
                     )
-            else:  # other channel messages: skip 1-2 data bytes
-                i += 2 if status & 0xF0 in (0xC0, 0xD0) else 2
+            else:
+                # other channel messages: Program Change (0xC0) and
+                # Channel Pressure (0xD0) carry ONE data byte; the rest
+                # (0xA0 poly pressure, 0xB0 control, 0xE0 pitch bend)
+                # carry two.
+                i += 1 if status & 0xF0 in (0xC0, 0xD0) else 2
     notes.sort(key=lambda n: n[1])
     return notes
 

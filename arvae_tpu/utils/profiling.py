@@ -35,7 +35,11 @@ class StepTimer:
     def __init__(self, warmup: int = 2):
         self.warmup = warmup
         self._n = 0
-        self._t0: Optional[float] = None
+        # warmup=0 counts from construction — tick() only starts the
+        # clock at the _n == warmup crossing, which never fires for 0.
+        self._t0: Optional[float] = (
+            time.perf_counter() if warmup == 0 else None
+        )
 
     def tick(self) -> None:
         self._n += 1
