@@ -174,12 +174,8 @@ class BarDataset:
             return None
         tokens = np.full((length,), self.note2index_dicts[SLUR_SYMBOL],
                          dtype=np.int64)
-        tick_starts = np.cumsum([0.0] + [float(d) for d in TICK_DURATIONS])
         for pitch, start, dur in score.notes:
-            beat, frac = divmod(start, 1.0)
-            # snap to the tick grid
-            tick_in_beat = int(np.argmin(np.abs(tick_starts[:-1] - frac)))
-            tick = int(beat) * self.beat_subdivisions + tick_in_beat
+            tick = onset_tick(start, self.beat_subdivisions)
             if tick >= length:
                 continue
             name = REST_SYMBOL if pitch < 0 else midi_to_note_name(pitch)
@@ -317,7 +313,6 @@ class BarDataset:
         """Device-resident (train, val) token splits (per-measure rows
         reshaped from n-bar windows; see arvae_tpu.data.device_data)."""
         from arvae_tpu.data.device_data import DeviceSplit
-        from arvae_tpu.data.music_theory import TICKS_PER_MEASURE
 
         score, _ = self.get_dataset()
         n = len(score)
@@ -335,7 +330,6 @@ class BarDataset:
     def device_eval_split(self, ctx, split=(0.85, 0.10)):
         """Device-resident EVAL split (data_loaders()[2] semantics)."""
         from arvae_tpu.data.device_data import DeviceSplit
-        from arvae_tpu.data.music_theory import TICKS_PER_MEASURE
 
         score, _ = self.get_dataset()
         n = len(score)
@@ -394,6 +388,18 @@ def _tune_token_names(tune: np.ndarray, shift: int = 0) -> List[str]:
     return names
 
 
+_TICK_STARTS = np.cumsum([0.0] + [float(d) for d in TICK_DURATIONS])
+
+
+def onset_tick(start: float, beat_subdivisions: int) -> int:
+    """Snaps a note onset (quarter-note units) to its tick index — the
+    one grid-snapping rule shared by ``score_to_tensor`` and
+    ``score_to_tick_codes``."""
+    beat, frac = divmod(start, 1.0)
+    tick_in_beat = int(np.argmin(np.abs(_TICK_STARTS[:-1] - frac)))
+    return int(beat) * beat_subdivisions + tick_in_beat
+
+
 def score_to_tick_codes(score: Score, beat_subdivisions: int = 6
                         ) -> Optional[np.ndarray]:
     """Score → per-tick code array: ≥0 MIDI onset, -1 slur continuation,
@@ -402,11 +408,8 @@ def score_to_tick_codes(score: Score, beat_subdivisions: int = 6
     if length == 0:
         return None
     codes = np.full((length,), -1, dtype=np.int64)
-    tick_starts = np.cumsum([0.0] + [float(d) for d in TICK_DURATIONS])
     for pitch, start, _ in score.notes:
-        beat, frac = divmod(start, 1.0)
-        tick_in_beat = int(np.argmin(np.abs(tick_starts[:-1] - frac)))
-        tick = int(beat) * beat_subdivisions + tick_in_beat
+        tick = onset_tick(start, beat_subdivisions)
         if tick >= length:
             continue
         codes[tick] = -2 if pitch < 0 else int(pitch)
@@ -450,7 +453,11 @@ class FolkBarDataset(BarDataset):
 
     def _valid_abc_files(self) -> List[str]:
         """Validated file list, cached like the reference
-        (bar_dataset.py:761-777)."""
+        (bar_dataset.py:761-790). The cache always holds the FULL valid
+        list and ``max_num_files`` is applied by the reader — the
+        reference also caps while *building* the cache (``:871-873``),
+        which poisons later full runs with a short run's 20-file list;
+        capability reproduced, bug not cloned."""
         from arvae_tpu.data.abc_parser import is_valid_folk_tune
 
         os.makedirs(self.dataset_dir_path, exist_ok=True)
@@ -463,29 +470,32 @@ class FolkBarDataset(BarDataset):
                     os.path.join(self.raw_datapath, line.rstrip("\n"))
                     for line in f if line.strip()
                 ]
-        valid = []
-        for idx, path in enumerate(self._abc_files()):
-            if idx >= self.max_num_files:
-                break
+        valid = [
+            path for path in self._abc_files()
             if is_valid_folk_tune(path, (self.time_sig_num,
-                                         self.time_sig_den)):
-                valid.append(path)
+                                         self.time_sig_den))
+        ]
         with open(cache, "w") as f:
             for p in valid:
                 f.write(os.path.basename(p) + "\n")
         return valid
 
-    def _corpus_tunes(self) -> List[np.ndarray]:
-        """All tunes of the split, as per-tick code arrays."""
-        if self._tunes is not None:
-            return self._tunes
+    def _corpus_all_tunes(self) -> List[np.ndarray]:
+        """Every tune of the corpus (both splits), parsed ONCE per
+        dataset object — the vocab pass and both split views share this
+        cache so a real 25k-file corpus is not re-parsed per split."""
+        if getattr(self, "_all_tunes_cache", None) is not None:
+            return self._all_tunes_cache
         abc_files = self._abc_files()
         if abc_files:
             from arvae_tpu.data.abc_parser import parse_abc_file
 
             files = self._valid_abc_files()
             order = np.random.RandomState(0).permutation(len(files))
-            files = [files[i] for i in order]
+            # cap AFTER the shuffle (reference bar_dataset.py:787-789):
+            # 20 files for --short, the reference's 25000 ceiling
+            # otherwise — independent of which mode built the cache
+            files = [files[i] for i in order][: self.max_num_files]
             tunes = []
             for p in files:
                 try:
@@ -495,7 +505,6 @@ class FolkBarDataset(BarDataset):
                 codes = score_to_tick_codes(score, self.beat_subdivisions)
                 if codes is not None:
                     tunes.append(codes)
-            n = len(tunes)
         else:
             n = self.n_tunes_short if self.is_short else self.n_tunes_full
             rng = np.random.RandomState(1234 if self.style == "folk" else 4321)
@@ -506,13 +515,20 @@ class FolkBarDataset(BarDataset):
                 )
                 for _ in range(n)
             ]
-        n_train = int(0.9 * n)
-        if self.dataset_type == "train":
-            tunes = tunes[:n_train]
-        else:
-            tunes = tunes[n_train:]
-        self._tunes = tunes
+        self._all_tunes_cache = tunes
         return tunes
+
+    def _corpus_tunes(self) -> List[np.ndarray]:
+        """All tunes of the split, as per-tick code arrays."""
+        if self._tunes is not None:
+            return self._tunes
+        tunes = self._corpus_all_tunes()
+        n_train = int(0.9 * len(tunes))
+        if self.dataset_type == "train":
+            self._tunes = tunes[:n_train]
+        else:
+            self._tunes = tunes[n_train:]
+        return self._tunes
 
     def _init_vocab(self) -> None:
         if self.read_index_dicts():
@@ -528,16 +544,7 @@ class FolkBarDataset(BarDataset):
         self.build_vocab(sorted(set(names) - {SLUR_SYMBOL, REST_SYMBOL}))
 
     def _all_split_tunes(self) -> List[np.ndarray]:
-        saved_type = self.dataset_type
-        saved = self._tunes
-        out = []
-        for dt in ("train", "test"):
-            self.dataset_type = dt
-            self._tunes = None
-            out.extend(self._corpus_tunes())
-        self.dataset_type = saved_type
-        self._tunes = None
-        return out
+        return self._corpus_all_tunes()
 
     def _transposition_shifts(self, tune: np.ndarray) -> List[int]:
         """All semitone shifts keeping the tune inside pitch_range

@@ -25,6 +25,7 @@ path because the global epoch permutation is unchanged.
 
 from __future__ import annotations
 
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -39,10 +39,27 @@ class DevicePrefetcher:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _SENTINEL = object()
         err: list = []
+        abandoned = threading.Event()
+
+        def _put(item) -> bool:
+            # Bounded put that notices consumer abandonment: if the
+            # epoch loop breaks or raises mid-iteration, the generator's
+            # finally sets `abandoned` and the producer exits instead of
+            # blocking forever on a full queue with device batches
+            # pinned in HBM.
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in self.loader:
+                    if abandoned.is_set():
+                        return
                     batch = self.process_fn(batch)
                     # partial final batches are truncated to a multiple
                     # of the data axis (a no-op when n_data == 1) rather
@@ -50,19 +67,22 @@ class DevicePrefetcher:
                     # per-batch metric means; batches smaller than the
                     # mesh truncate to zero rows and are skipped
                     sharded = shard_batch_truncated(self.mesh, batch)
-                    if sharded is not None:
-                        q.put(sharded)
+                    if sharded is not None and not _put(sharded):
+                        return
             except BaseException as e:  # surface worker errors to consumer
                 err.append(e)
             finally:
-                q.put(_SENTINEL)
+                _put(_SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            abandoned.set()

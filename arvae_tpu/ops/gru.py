@@ -109,14 +109,7 @@ def gru_cell_from_gi(params: GRUParams, gi: jax.Array, h: jax.Array
 
 def gru_cell(params: GRUParams, x: jax.Array, h: jax.Array) -> jax.Array:
     """One GRU step. x: (B, I), h: (B, H) → h': (B, H)."""
-    gi = x @ params["w_ih"] + params["b_ih"]
-    gh = h @ params["w_hh"] + params["b_hh"]
-    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-    r = jax.nn.sigmoid(i_r + h_r)
-    z = jax.nn.sigmoid(i_z + h_z)
-    n = jnp.tanh(i_n + r * h_n)
-    return (1.0 - z) * n + z * h
+    return gru_cell_from_gi(params, x @ params["w_ih"] + params["b_ih"], h)
 
 
 def stacked_gru_step_from_gi(

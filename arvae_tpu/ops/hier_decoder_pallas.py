@@ -35,9 +35,11 @@ the per-beat inits. Feedback tokens carry no gradient
 matmuls.
 
 Layer count is fixed at 2 (the reference default); callers fall back to
-the XLA scan otherwise, off-TPU, or for multinomial sampling. The same
-kernel drives ``SRDecoder`` with ``ticks_per_beat == T`` (one all-zero
-init at t=0, the z conditioning as the single "beat" row).
+the XLA scan otherwise or off-TPU. Multinomial sampling IS fused
+(Gumbel-max over the logits via the on-chip PRNG — a different stream
+than the XLA path's categorical, see the sampling note below). The
+same kernel drives ``SRDecoder`` with ``ticks_per_beat == T`` (one
+all-zero init at t=0, the z conditioning as the single "beat" row).
 """
 
 from __future__ import annotations

@@ -91,6 +91,30 @@ def test_folk_abc_ingestion_to_train_step(abc_corpus, tmp_path, monkeypatch):
     assert np.isfinite(gnorm) and gnorm > 0.0
 
 
+def test_valid_file_cache_full_and_cap_applied_on_read(abc_corpus, tmp_path,
+                                                       monkeypatch):
+    """The validated-file cache always holds the FULL list; the
+    max_num_files cap is applied by the reader, so a short run cannot
+    poison later full runs (the reference caps while building,
+    bar_dataset.py:871-873 — capability reproduced, bug not cloned)."""
+    monkeypatch.setenv("ARVAE_DATASETS_DIR", str(tmp_path / "ds"))
+    from arvae_tpu.data.bar_dataset import FolkBarDataset
+
+    ds = FolkBarDataset(dataset_type="train", is_short=True,
+                        raw_datapath=str(abc_corpus))
+    ds.max_num_files = 4
+    ds._all_tunes_cache = None
+    assert len(ds._corpus_all_tunes()) <= 4
+    cache = os.path.join(ds.dataset_dir_path, "4by4valid_filelist.txt")
+    with open(cache) as f:
+        assert len([l for l in f if l.strip()]) == 8
+
+    # a fresh full-mode dataset re-reads the same cache uncapped
+    ds_full = FolkBarDataset(dataset_type="train", is_short=False,
+                             raw_datapath=str(abc_corpus))
+    assert len(ds_full._corpus_all_tunes()) == 8
+
+
 # -- mnist: IDX gz + morpho csv ---------------------------------------------
 
 
