@@ -90,7 +90,10 @@ def zhang_suen_thin_batch(
     lib = load()
     if lib is None:
         return None
-    imgs = np.ascontiguousarray(images.astype(np.uint8))
+    # binarize exactly like the numpy fallback's astype(bool): any
+    # nonzero pixel is foreground (a bare uint8 cast truncates 0<v<1
+    # floats to background, diverging the two paths on grayscale input)
+    imgs = np.ascontiguousarray(images.astype(bool).astype(np.uint8))
     n, h, w = imgs.shape
     out = np.empty_like(imgs)
     lib.zhang_suen_thin_batch(

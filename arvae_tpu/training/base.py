@@ -207,6 +207,14 @@ class BaseTrainer(abc.ABC):
         )
 
     def train_model(self, batch_size: int, num_epochs: int, log: bool = False):
+        # Retraining invalidates any cached eval metrics: the trainers'
+        # compute_eval_metrics short-circuits on results_dict.json, so a
+        # stale cache from a previous run would be printed as if it
+        # described the freshly trained model.
+        results_fp = os.path.join(self.run_dir, "results_dict.json")
+        if os.path.exists(results_fp):
+            os.remove(results_fp)
+
         if log:
             from tensorboardX import SummaryWriter
 

@@ -183,11 +183,16 @@ def create_box_plot(
     y_axis: str,
     grouping: str,
     save_path: str,
+    anchor=None,
 ) -> None:
     """Metric box plots across models/datasets/seeds
-    (reference plotting.py:184-304)."""
+    (reference plotting.py:184-304). ``anchor``: optional (x, y) point
+    marked with a black 'x' (the reference's 96.15% digit-pred line) —
+    it must be drawn on THIS axis before the figure is saved."""
     fig, ax = plt.subplots(figsize=(7.2, 4.8))
     sns.boxplot(data=data_frame, x=x_axis, y=y_axis, hue=grouping, ax=ax)
+    if anchor is not None:
+        ax.plot(anchor[0], anchor[1], "x", color="k")
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
     fig.savefig(save_path, dpi=150, bbox_inches="tight")
     plt.close(fig)

@@ -132,8 +132,8 @@ def main(seeds, short):
         df = pd.DataFrame(rows, columns=["Accuracy (in %)", "Criteria",
                                          "Model"])
         save_path = os.path.join(PLOTS_DIR, "digit_pred_acc.pdf")
-        create_box_plot(df, "Criteria", "Accuracy (in %)", "Model", save_path)
-        plt.plot(0.5, 96.15, "x", color="k")
+        create_box_plot(df, "Criteria", "Accuracy (in %)", "Model", save_path,
+                        anchor=(0.5, 96.15))
 
     # Reconstruction accuracy box plot
     rows = []

@@ -89,6 +89,10 @@ def main(dataset_type, batch_size, num_epochs, lr, capacity, dec_dist,
             row.append(r["test_acc"] * 100)
             results_list.append(row)
 
+    if not results_list:
+        print("no cached results for any (gamma, delta) cell - "
+              "run without --test first")
+        return
     columns = ["$\\gamma$", "$\\delta$"]
     columns += [EVAL_METRIC_DICT[k] for k in EVAL_METRIC_DICT.keys()]
     columns.append("Reconstruction Accuracy (in %)")

@@ -27,7 +27,9 @@ def collect(pattern: str):
         for k in KEYS:
             if k in r:
                 mets.setdefault(k, []).append(r[k])
-        mets.setdefault("interp", []).append(r["interpretability"]["mean"][1])
+        if "interpretability" in r:
+            mets.setdefault("interp", []).append(
+                r["interpretability"]["mean"][1])
         for k in ("digit_pred_acc",):
             if k in r:
                 for sub, v in r[k].items():

@@ -23,7 +23,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)  # bench_measure_vae lives next to this script
 
 from bench_measure_vae import VOCAB_SIZE, build_vocab  # noqa: E402
 

@@ -25,7 +25,9 @@ from arvae_tpu.training.measure_trainer import MeasureVAETrainer  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_trainer(glsr: bool = False):
+def build_trainer():
+    # (the --glsr path does not come through here: VAETesterGLSR wires
+    # its own GLSR trainer + checkpoint restore)
     dataset = FolkNBarDataset(dataset_type="train", is_short=True, num_bars=1)
     model = MeasureVAE(
         num_notes=len(dataset.note2index_dicts),
@@ -36,14 +38,6 @@ def build_trainer(glsr: bool = False):
         num_decoder_layers=2,
         decoder_hidden_size=128,
     )
-    if glsr:
-        from arvae_tpu.training.glsr_trainer import MeasureVAETrainerGLSR
-
-        return MeasureVAETrainerGLSR(
-            dataset=dataset, model=model, reg_type="rhy_complexity",
-            reg_dim=MUSIC_REG_TYPE["rhy_complexity"], beta=0.001,
-            gamma=1.0, rand=0,
-        )
     return MeasureVAETrainer(
         dataset=dataset, model=model,
         reg_type=("all",), reg_dim=tuple(MUSIC_REG_TYPE.values()),

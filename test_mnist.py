@@ -77,6 +77,7 @@ def main(batch_size, num_epochs, lr):
     gen_train, gen_val, _ = dataset.data_loaders(batch_size)
     ckpt = Checkpointer(judge_run_dir())
     for epoch in range(num_epochs):
+        loss = None
         for images, labels in gen_train:
             sharded = shard_batch_truncated(
                 ctx, (np.asarray(images, np.float32),
@@ -87,6 +88,11 @@ def main(batch_size, num_epochs, lr):
             images, labels = sharded
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, images, labels
+            )
+        if loss is None:
+            raise click.ClickException(
+                f"every batch was smaller than the {ctx.n_data}-device "
+                "data axis; raise --batch_size"
             )
         preds, gts = [], []
         for images, labels in gen_val:

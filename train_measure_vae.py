@@ -153,6 +153,13 @@ def main(
                     "--glsr takes a single reg type with a differentiable"
                     f" surrogate: {sorted(glsr_supported)}"
                 )
+            if reg_type and reg_type[0] == "all" and len(reg_type) > 1:
+                # 'all' followed by explicit names would silently drop
+                # the explicit request on the defaulting branch below
+                raise click.BadParameter(
+                    "--glsr: pass either -r all or a single supported "
+                    "reg type, not both"
+                )
             if not reg_type or reg_type[0] == "all":
                 click.echo("--glsr regularizes one attribute; "
                            "defaulting to rhy_complexity")
