@@ -128,6 +128,46 @@ class Encoder(nn.Module):
         return z_mean, z_log_std
 
 
+def _check_sampling(sampling: str) -> None:
+    """The reference raises NotImplementedError on unknown sampling
+    modes (decoder.py); a typo must not silently train with argmax."""
+    if sampling not in ("argmax", "multinomial"):
+        raise NotImplementedError(f"sampling={sampling!r}; "
+                                  "use 'argmax' or 'multinomial'")
+
+
+def _fused_tick_chain(seq_len, train, dropout, ticks_per_beat, sampling,
+                      teacher_forced, k_drop, score, gi_beat, tick_h0, x0,
+                      embedding, w_ih0, gru, out_w, out_b):
+    """Invokes the fused feedback-loop kernel
+    (ops/hier_decoder_pallas.hier_tick_chain) with the operand layout
+    both autoregressive decoders share — ONE call site for the
+    16-operand signature and the seed derivation. Returns
+    (weights (B, T, V), samples (B, T))."""
+    from arvae_tpu.ops.hier_decoder_pallas import hier_tick_chain
+
+    E = x0.shape[1]
+    seed = jax.random.randint(
+        jax.random.fold_in(k_drop, 424243), (), 0, 2**31 - 1,
+        dtype=jnp.int32,
+    )
+    weights_t, samples_t = hier_tick_chain(
+        seq_len, bool(train), float(dropout) if train else 0.0,
+        ticks_per_beat, sampling,
+        jnp.asarray(teacher_forced, jnp.int32), seed,
+        jnp.transpose(score).astype(jnp.int32),
+        gi_beat, tick_h0, x0, embedding, w_ih0[:E],
+        gru[0]["w_hh"], gru[0]["b_hh"],
+        gru[1]["w_ih"], gru[1]["b_ih"],
+        gru[1]["w_hh"], gru[1]["b_hh"],
+        out_w, out_b,
+    )
+    return (
+        jnp.transpose(weights_t, (1, 0, 2)),
+        jnp.transpose(samples_t, (1, 0)),
+    )
+
+
 class SRDecoder(nn.Module):
     """Single-RNN autoregressive decoder (reference decoder.py:53-210).
 
@@ -152,6 +192,7 @@ class SRDecoder(nn.Module):
     sampling: str = "argmax"  # 'argmax' | 'multinomial'
 
     def setup(self):
+        _check_sampling(self.sampling)
         H, E, V = self.rnn_hidden_size, self.note_embedding_dim, self.num_notes
         self.embedding = self.param("embedding", _XAVIER, (V, E))
         self.z2in_w1, self.z2in_b1 = _dense_params(self, "z2in1", self.z_dim, H)
@@ -198,32 +239,18 @@ class SRDecoder(nn.Module):
         w_ih0 = self.gru[0]["w_ih"]  # (2E, 3H)
         gi_z = z_emb @ w_ih0[E:] + self.gru[0]["b_ih"]  # (B, 3H)
 
-        from arvae_tpu.ops.hier_decoder_pallas import enabled, hier_tick_chain
+        from arvae_tpu.ops.hier_decoder_pallas import enabled
 
-        if L == 2 and enabled(B, H, L, self.num_notes, T, sampling):
+        if enabled(B, H, L, self.num_notes, T, sampling):
             # same fused feedback-loop kernel as the hierarchical
             # decoder: ticks_per_beat == T means one hidden init (all
             # zeros) at t=0 and the z conditioning as the single
             # "beat" row
-            seed = jax.random.randint(
-                jax.random.fold_in(k_drop, 424243), (), 0, 2**31 - 1,
-                dtype=jnp.int32,
-            )
-            tick_h0 = jnp.zeros((1, L, B, H), jnp.float32)
-            weights_t, samples_t = hier_tick_chain(
-                T, bool(train), float(self.dropout) if train else 0.0,
-                T, sampling,
-                jnp.asarray(teacher_forced, jnp.int32), seed,
-                jnp.transpose(score).astype(jnp.int32),
-                gi_z[None], tick_h0, x0, self.embedding, w_ih0[:E],
-                self.gru[0]["w_hh"], self.gru[0]["b_hh"],
-                self.gru[1]["w_ih"], self.gru[1]["b_ih"],
-                self.gru[1]["w_hh"], self.gru[1]["b_hh"],
-                self.out_w, self.out_b,
-            )
-            return (
-                jnp.transpose(weights_t, (1, 0, 2)),
-                jnp.transpose(samples_t, (1, 0)),
+            return _fused_tick_chain(
+                T, train, self.dropout, T, sampling, teacher_forced,
+                k_drop, score, gi_z[None],
+                jnp.zeros((1, L, B, H), jnp.float32), x0, self.embedding,
+                w_ih0, self.gru, self.out_w, self.out_b,
             )
 
         def step(carry, t):
@@ -327,6 +354,7 @@ class HierarchicalDecoder(nn.Module):
     sampling: str = "argmax"  # 'argmax' | 'multinomial'
 
     def setup(self):
+        _check_sampling(self.sampling)
         H, L, E, V = (
             self.rnn_hidden_size,
             self.num_layers,
@@ -411,30 +439,16 @@ class HierarchicalDecoder(nn.Module):
             beat_emb_in @ w_ih0[E:] + self.tick_gru[0]["b_ih"]
         )  # (4, B, 3H)
 
-        from arvae_tpu.ops.hier_decoder_pallas import enabled, hier_tick_chain
+        from arvae_tpu.ops.hier_decoder_pallas import enabled
 
         if enabled(B, H, L, self.num_notes, MEASURE_SEQ_LEN, sampling):
             # whole feedback loop (GRU stack, head, argmax, re-embed) as
             # one fused VMEM kernel — see ops/hier_decoder_pallas.py
-            seed = jax.random.randint(
-                jax.random.fold_in(k_drop, 424243), (), 0, 2**31 - 1,
-                dtype=jnp.int32,
-            )
-            weights_t, samples_t = hier_tick_chain(
-                MEASURE_SEQ_LEN, bool(train),
-                float(self.dropout) if train else 0.0,
-                NUM_TICKS_PER_BEAT, sampling,
-                jnp.asarray(teacher_forced, jnp.int32), seed,
-                jnp.transpose(score).astype(jnp.int32),
-                gi_beat, tick_h0, x0, self.embedding, w_ih0[:E],
-                self.tick_gru[0]["w_hh"], self.tick_gru[0]["b_hh"],
-                self.tick_gru[1]["w_ih"], self.tick_gru[1]["b_ih"],
-                self.tick_gru[1]["w_hh"], self.tick_gru[1]["b_hh"],
-                self.out_w, self.out_b,
-            )
-            return (
-                jnp.transpose(weights_t, (1, 0, 2)),
-                jnp.transpose(samples_t, (1, 0)),
+            return _fused_tick_chain(
+                MEASURE_SEQ_LEN, train, self.dropout, NUM_TICKS_PER_BEAT,
+                sampling, teacher_forced, k_drop, score, gi_beat, tick_h0,
+                x0, self.embedding, w_ih0, self.tick_gru, self.out_w,
+                self.out_b,
             )
 
         def step(carry, t):

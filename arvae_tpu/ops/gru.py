@@ -30,7 +30,8 @@ GRUParams = Dict[str, jax.Array]
 
 
 def _use_fused_chain(batch: int, hidden: int,
-                     seq_len: Optional[int] = None) -> bool:
+                     seq_len: Optional[int] = None,
+                     n_dirs: int = 2) -> bool:
     """Route whole-sequence recurrences through the fused Pallas chain
     kernel (ops/gru_pallas.py) when the TPU tiling allows it.
 
@@ -47,7 +48,7 @@ def _use_fused_chain(batch: int, hidden: int,
         return False
     from arvae_tpu.ops.gru_pallas import supports_shapes
 
-    if not supports_shapes(batch, hidden):
+    if not supports_shapes(batch, hidden, n_dirs):
         return False
     if os.environ.get("ARVAE_FORCE_GRU_PALLAS"):
         return True
@@ -171,7 +172,7 @@ def gru_layer(
         gi_t = jnp.flip(gi_t, 0)
 
     b, h_dim = h0.shape
-    if _use_fused_chain(b, h_dim, gi_t.shape[0]):
+    if _use_fused_chain(b, h_dim, gi_t.shape[0], n_dirs=1):
         from arvae_tpu.ops.gru_pallas import gru_chain
 
         outs = gru_chain(

@@ -49,9 +49,27 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def supports_shapes(batch: int, hidden: int) -> bool:
-    """True when (B, H) satisfy the TPU tiling the kernels assume."""
-    return hidden % 128 == 0 and batch % 8 == 0
+_VMEM_BUDGET_BYTES = 15 * 1024 * 1024
+
+
+def supports_shapes(batch: int, hidden: int, n_dirs: int = 2) -> bool:
+    """True when (B, H) satisfy the TPU tiling AND the backward pass's
+    VMEM residents fit.
+
+    The bwd kernel pins three (D, H, 3H) weight-sized buffers (w_hh +
+    dw out + dw_scr → 9·D·H² floats, irreducible) plus the streamed
+    per-step blocks (h_prev/gi/dout/dgi ≈ 8·D·B·H floats) and the
+    dh0/dh_scr carry (2·D·B·H). Modeled single-buffered ≈
+    D·(9H² + 11BH) floats against the 15 MB budget the sibling hier
+    kernel calibrated with on-device OOM probes — the measured-working
+    (H=128, B=1024, D=2) point models at 12.7 MB and sits inside;
+    H=512 configs (19-30 MB) fall back to the XLA scan instead of
+    crashing Mosaic. ``n_dirs`` defaults to the biGRU's 2 (the
+    conservative case)."""
+    if hidden % 128 != 0 or batch % 8 != 0:
+        return False
+    modeled = 4 * n_dirs * (9 * hidden * hidden + 11 * batch * hidden)
+    return modeled < _VMEM_BUDGET_BYTES
 
 
 def _gates(gi_d, gh_d):
@@ -116,7 +134,7 @@ def _fwd_value(gi, w_hh, b_hh, h0):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(w_hh_ref, b_hh_ref, hprev_ref, gi_ref, dout_ref,
+def _bwd_kernel(w_hh_ref, b_hh_ref, h0_ref, houts_ref, gi_ref, dout_ref,
                 dgi_ref, dh0_ref, dw_ref, db_ref,
                 dh_scr, dw_scr, db_scr, *, n_dirs: int):
     k = pl.program_id(0)
@@ -129,7 +147,9 @@ def _bwd_kernel(w_hh_ref, b_hh_ref, hprev_ref, gi_ref, dout_ref,
         db_scr[:] = jnp.zeros_like(db_scr)
 
     for d in range(n_dirs):
-        h_prev = hprev_ref[0, d]  # (B, H)
+        # h_{t-1}: the outs block at t-1 (clamped index map; garbage at
+        # t == 0, where h0 takes over) — no (T,D,B,H) concat copy in HBM
+        h_prev = jnp.where(k == T - 1, h0_ref[d], houts_ref[0, d])  # (B, H)
         gh = (
             jnp.dot(h_prev, w_hh_ref[d], preferred_element_type=jnp.float32)
             + b_hh_ref[d]
@@ -172,8 +192,9 @@ def _bwd_kernel(w_hh_ref, b_hh_ref, hprev_ref, gi_ref, dout_ref,
 def _bwd_value(gi, w_hh, b_hh, h0, outs, douts):
     T, D, B, H3 = gi.shape
     H = H3 // 3
-    h_prev = jnp.concatenate([h0[None], outs[:-1]], axis=0)  # (T, D, B, H)
     rev = lambda k: (T - 1 - k, 0, 0, 0)  # noqa: E731
+    # outs block at t-1, clamped at t == 0 (h0 overrides there in-kernel)
+    revm = lambda k: (jnp.maximum(T - 2 - k, 0), 0, 0, 0)  # noqa: E731
     dgi, dh0, dw, db = pl.pallas_call(
         functools.partial(_bwd_kernel, n_dirs=D),
         grid=(T,),
@@ -181,7 +202,9 @@ def _bwd_value(gi, w_hh, b_hh, h0, outs, douts):
             pl.BlockSpec((D, H, H3), lambda k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, H3), lambda k: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, B, H), lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, B, H), revm, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, B, H3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, B, H), rev, memory_space=pltpu.VMEM),
         ],
@@ -205,7 +228,7 @@ def _bwd_value(gi, w_hh, b_hh, h0, outs, douts):
             pltpu.VMEM((D, H3), jnp.float32),
         ],
         interpret=_interpret(),
-    )(w_hh, b_hh, h_prev, gi, douts)
+    )(w_hh, b_hh, h0, outs, gi, douts)
     return dgi, dh0, dw, db
 
 

@@ -53,7 +53,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NUM_TICKS_PER_BEAT = 6
+# torch-exact gate math and the backend check are shared with the GRU
+# chain kernel — one copy of each invariant
+from arvae_tpu.ops.gru_pallas import _gates as _gru_gates
+from arvae_tpu.ops.gru_pallas import _interpret
 
 
 def supports(batch: int, hidden: int, num_layers: int, num_notes: int,
@@ -90,15 +93,6 @@ def enabled(batch: int, hidden: int, num_layers: int, num_notes: int,
     if os.environ.get("ARVAE_FORCE_GRU_PALLAS"):
         return True
     return jax.default_backend() == "tpu"
-
-
-def _gru_gates(gi, gh):
-    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-    r = jax.nn.sigmoid(i_r + h_r)
-    z = jax.nn.sigmoid(i_z + h_z)
-    n = jnp.tanh(i_n + r * h_n)
-    return r, z, n, h_n
 
 
 def _gru_bwd(dh, r, z, n, h_n, h_prev, w_hh):
@@ -245,6 +239,11 @@ def _fwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
         jnp.where(scores == m, iota_v, V), axis=-1
     ).astype(jnp.int32)
     tok = jnp.where(teacher, score_ref[0, 0], sampled)
+    # clamp like the XLA path's jnp.take: an out-of-range teacher token
+    # (corrupt score) or the all-NaN sampled == V edge would otherwise
+    # one-hot to a silent ZERO embedding while the scan path clamps to
+    # the last table row — the two paths must not silently diverge
+    tok = jnp.clip(tok, 0, V - 1)
 
     weights_ref[0] = logits
     samples_ref[0, 0] = tok
@@ -403,10 +402,6 @@ def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
 # ---------------------------------------------------------------------------
 # Public op with custom VJP
 # ---------------------------------------------------------------------------
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _full(spec_shape=None):

@@ -88,9 +88,17 @@ def test_jit_value_and_grad():
 
 def test_supports_shapes():
     assert supports_shapes(256, 128)
-    assert supports_shapes(8, 512)
-    assert not supports_shapes(256, 96)
-    assert not supports_shapes(3, 128)
+    assert supports_shapes(1024, 128)   # measured-working fused point
+    assert supports_shapes(256, 256)
+    assert not supports_shapes(256, 96)  # H tiling
+    assert not supports_shapes(3, 128)   # B tiling
+    # VMEM guard: H=512's 9*D*H^2 weight residents alone blow the
+    # budget at any batch; huge batches blow the streamed blocks
+    assert not supports_shapes(8, 512)
+    assert not supports_shapes(256, 512)
+    assert not supports_shapes(4096, 128)
+    # the single-direction variant halves the residents
+    assert supports_shapes(256, 256, n_dirs=1)
 
 
 def test_layer_integration_forced(monkeypatch):
