@@ -96,7 +96,19 @@ def get_title(path: str) -> Optional[str]:
 
 
 def tune_contains_chords(path: str) -> bool:
-    return any('"' in line for line in open(path, errors="ignore"))
+    """Quote-style chord symbols anywhere, or bracketed note chords
+    like [CEG] on music lines (the lookahead excludes inline fields
+    such as [K:G]; field lines are exempt so a title containing '[A..'
+    is not mistaken for a chord)."""
+    bracket_chord = re.compile(r"\[[A-Ga-g](?!:)")
+    for line in open(path, errors="ignore"):
+        if '"' in line:
+            return True
+        if re.match(r"^[A-Za-z]\s*:", line):
+            continue
+        if bracket_chord.search(line):
+            return True
+    return False
 
 
 def tune_is_multivoice(path: str) -> bool:
@@ -124,50 +136,40 @@ def _strip_body_noise(line: str) -> str:
 
 
 def _expand_repeats(bars: List[str]) -> List[str]:
-    """Expands |: ... :| sections with optional |1 / |2 endings."""
+    """Expands repeat sections with optional |1 / |2 endings.
+
+    ``section`` accumulates bars since the last *boundary* — the tune
+    start, an explicit ``|:``, or the flush of a previous repeat — so a
+    bare ``:|`` with no opening ``|:`` repeats from the boundary (the
+    standard folk-ABC implicit repeat, which music21's Expander also
+    honors). The expansion is emitted AT the closing ``:|``; second
+    endings then simply play once inline, so no deferred-flush state is
+    needed (a deferred flush emitted later bars out of order)."""
     out: List[str] = []
     section: List[str] = []
     ending1: List[str] = []
-    state = "normal"  # normal | repeat | ending1 | ending2
-    for bar, marks in bars:
-        if "start_repeat" in marks:
-            state = "repeat"
-            section = []
-        if "ending1" in marks and state in ("repeat", "normal"):
-            state = "ending1"
-            ending1 = []
-        if "ending2" in marks and state in ("repeat", "ending1",
-                                            "ending1_wait"):
-            # flush: section + ending1 + section, then this bar continues
-            out.extend(section)
-            out.extend(ending1)
-            out.extend(section)
-            state = "normal"
-            section = []
-            ending1 = []
-            out.append(bar)
-            continue
-        if state == "repeat":
-            section.append(bar)
-        elif state == "ending1":
-            ending1.append(bar)
-        else:
-            out.append(bar)
-        if "end_repeat" in marks:
-            if state == "repeat":
-                out.extend(section)
-                out.extend(section)
-            elif state == "ending1":
-                pass  # wait for ending2
-            state = "ending1_wait" if state == "ending1" else "normal"
-            if state == "normal":
-                section = []
-    if state == "repeat":  # unterminated |: — play once
-        out.extend(section)
-    elif state in ("ending1", "ending1_wait"):
+    in_ending1 = False
+
+    def flush(repeat: bool) -> None:
+        nonlocal section, ending1, in_ending1
         out.extend(section)
         out.extend(ending1)
-        out.extend(section)
+        if repeat:
+            out.extend(section)
+        section = []
+        ending1 = []
+        in_ending1 = False
+
+    for bar, marks in bars:
+        if "start_repeat" in marks:
+            flush(repeat=False)  # bars before an explicit |: play once
+        if "ending1" in marks:
+            in_ending1 = True
+            ending1 = []
+        (ending1 if in_ending1 else section).append(bar)
+        if "end_repeat" in marks:
+            flush(repeat=True)
+    flush(repeat=False)  # trailing bars (incl. a dangling first ending)
     return out
 
 
@@ -181,13 +183,34 @@ def parse_abc(text: str) -> Tuple[Dict[str, str], Score]:
         if not line:
             continue
         m = re.match(r"^([A-Za-z])\s*:(.*)$", line)
-        if m and (not in_body or m.group(1) in "KLMV"):
-            headers.setdefault(m.group(1), m.group(2).strip())
-            if m.group(1) == "K":
+        if m:
+            # information-field line (w: lyrics, P: parts, Q: tempo, …):
+            # NEVER tokenized as music — lyric letters would inject
+            # spurious notes. Mid-body K/L/M changes to a DIFFERENT
+            # value are rejected rather than misparsed with the
+            # header's key/unit/meter (the reference's music21 path
+            # handles them; its validator also rejects multi-meter
+            # tunes, bar_dataset.py:885-887).
+            field, value = m.group(1), m.group(2).strip()
+            if in_body and field in "KLM" and headers.get(field, value) != value:
+                raise AbcParseError(
+                    f"mid-tune {field}: change {headers[field]!r} -> "
+                    f"{value!r}"
+                )
+            headers.setdefault(field, value)
+            if field == "K":
                 in_body = True
             continue
         if in_body:
             body_lines.append(line)
+
+    for ln in body_lines:
+        for fm in re.finditer(r"\[([KLM]):([^\]]*)\]", ln):
+            f, v = fm.group(1), fm.group(2).strip()
+            if headers.get(f, v) != v:
+                raise AbcParseError(
+                    f"inline {f}: change {headers[f]!r} -> {v!r}"
+                )
 
     if "K" not in headers:
         raise AbcParseError("no key header")
@@ -266,10 +289,10 @@ def parse_abc(text: str) -> Tuple[Dict[str, str], Score]:
     # parse bars to note events
     notes: List[Tuple[int, float, float]] = []
     t = Fraction(0)
+    pending_tie = False  # ties cross barlines ('A- | A' is one held note)
     for bar in bar_strs:
         bar_acc: Dict[str, int] = {}  # accidentals persist within a bar
         j = 0
-        pending_tie = False
         tuplet_scale = Fraction(1)
         tuplet_left = 0
         while j < len(bar):

@@ -47,22 +47,26 @@ class VAETester:
     # -- harvest helpers -----------------------------------------------------
 
     def _encode_batches(self, gen, attr_type: Optional[str], sample: bool,
-                        max_batches: int = 200):
+                        max_batches: int = 200, return_scores: bool = False):
         state = self.trainer.ensure_state()
         fwd = self.trainer._forward_fn()
-        z_all, attr_all = [], []
+        z_all, attr_all, scores = [], [], []
         for sample_id, batch in enumerate(gen):
             score, _ = self.trainer.process_batch(batch)
             key = jax.random.fold_in(jax.random.key(1), sample_id)
             out = fwd(state.params, jnp.asarray(score), key)
             z = out.z_tilde if sample else out.z_mean
             z_all.append(np.asarray(z))
+            if return_scores:
+                scores.append(score)
             if attr_type is not None:
                 attr_all.append(self._attr(score, attr_type))
             if sample_id >= max_batches:
                 break
         z_all = np.concatenate(z_all, 0)
         attr_all = np.concatenate(attr_all, 0) if attr_all else None
+        if return_scores:
+            return z_all, attr_all, scores
         return z_all, attr_all
 
     def _attr(self, score, attr_type: str) -> np.ndarray:
@@ -181,11 +185,10 @@ class VAETester:
         _, _, gen_test = self.dataset.data_loaders(
             batch_size=16, split=(0.7, 0.15)
         )
-        batches = list(gen_test)
         # the latents are deterministic given the per-batch fold-in keys,
         # so one encoder harvest serves all three attribute colorings
-        z_all, _ = self._encode_batches(batches, None, sample=True)
-        scores = [self.trainer.process_batch(b)[0] for b in batches[:201]]
+        z_all, _, scores = self._encode_batches(gen_test, None, sample=True,
+                                                return_scores=True)
         for reg_type in ("rhy_complexity", "num_notes", "note_range"):
             attr_all = np.concatenate(
                 [self._attr(s, reg_type) for s in scores], 0

@@ -206,6 +206,18 @@ class BaseTrainer(abc.ABC):
             self._base_key,
         )
 
+    def _device_eval_split(self):
+        """Device-resident EVAL split when the dataset supports it
+        (cached; shared by the image and measure trainers)."""
+        if os.environ.get("ARVAE_HOST_LOADER"):
+            return None
+        make = getattr(self.dataset, "device_eval_split", None)
+        if make is None:
+            return None
+        if not hasattr(self, "_dev_eval_split"):
+            self._dev_eval_split = make(self.mesh)
+        return self._dev_eval_split
+
     def train_model(self, batch_size: int, num_epochs: int, log: bool = False):
         # Retraining invalidates any cached eval metrics: the trainers'
         # compute_eval_metrics short-circuits on results_dict.json, so a

@@ -244,16 +244,6 @@ class ImageVAETrainer(BaseTrainer):
         attr_idx = [self.attr_dict[a] for a in attr_list]
         return attributes[:, attr_idx], attr_list
 
-    def _device_eval_split(self):
-        if os.environ.get("ARVAE_HOST_LOADER"):
-            return None
-        make = getattr(self.dataset, "device_eval_split", None)
-        if make is None:
-            return None
-        if not hasattr(self, "_dev_eval_split"):
-            self._dev_eval_split = make(self.mesh)
-        return self._dev_eval_split
-
     def _device_harvest(self, batch_size: int, num_batches: int):
         """Latent harvest as ONE jitted scan over the device-resident
         eval split (the host path costs a device_put round trip per
@@ -357,7 +347,12 @@ class ImageVAETrainer(BaseTrainer):
 
         state = self.ensure_state()
         sp = self._device_eval_split()
-        if sp is not None:
+        if sp is not None and sp.n > 0:
+            # clamp like _device_harvest: a split smaller than
+            # batch_size would gather out-of-range rows (zero rows on
+            # the sharded path, duplicated tail rows on the replicated
+            # one) and corrupt the reported test loss/acc
+            batch_size = min(batch_size, sp.n)
             steps = max(sp.num_batches(batch_size), 1)
 
             def sweep(params, images, labels, key):

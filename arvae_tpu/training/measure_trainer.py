@@ -219,16 +219,6 @@ class MeasureVAETrainer(BaseTrainer):
 
     # -- evaluation ---------------------------------------------------------------
 
-    def _device_eval_split(self):
-        if os.environ.get("ARVAE_HOST_LOADER"):
-            return None
-        make = getattr(self.dataset, "device_eval_split", None)
-        if make is None:
-            return None
-        if not hasattr(self, "_dev_eval_split"):
-            self._dev_eval_split = make(self.mesh)
-        return self._dev_eval_split
-
     def compute_representations(self, data_loader, num_batches: int = 200,
                                 batch_size: int = 256,
                                 use_device: bool = True):

@@ -133,6 +133,52 @@ class TestParsing:
         assert midis(score) == [61, 65, 65, 61, 65, 60, 65, 60]
 
 
+class TestRealCorpusEdges:
+    """Constructs common in real folk corpora (thesession/Nottingham)."""
+
+    def test_implicit_repeat_from_start(self):
+        # a bare ':|' with no '|:' repeats from the tune start
+        _, score = parse_abc(SIMPLE.replace("CDEF|GABc|", "CDEF|GABc:|"))
+        assert midis(score) == [60, 62, 64, 65, 67, 69, 71, 72] * 2
+
+    def test_first_ending_without_second_keeps_order(self):
+        # |: A :|1 B :| C  ->  A B A C (the trailing bar stays last)
+        _, score = parse_abc(
+            SIMPLE.replace("CDEF|GABc|", "|:CDEF|1GGGG:|AAAA|")
+        )
+        assert midis(score) == (
+            [60, 62, 64, 65] + [67] * 4 + [60, 62, 64, 65] + [69] * 4
+        )
+
+    def test_tie_across_barline_merges(self):
+        _, score = parse_abc(SIMPLE.replace("CDEF|GABc|", "CDEE-|EGGc|"))
+        pitched = [n for n in score.notes if n[0] >= 0]
+        assert len(pitched) == 7  # E- | E merged into one 2-quarter note
+        merged = [n for n in pitched if n[2] == 2.0]
+        assert len(merged) == 1 and merged[0][0] == 64
+
+    def test_lyric_and_part_lines_not_tokenized(self):
+        _, score = parse_abc(SIMPLE.replace(
+            "CDEF|GABc|", "P:A\nCDEF|GABc|\nw:as I roved out\n"
+        ))
+        assert midis(score) == [60, 62, 64, 65, 67, 69, 71, 72]
+
+    def test_mid_tune_meter_change_rejected(self, tmp_path):
+        p = tmp_path / "mm.abc"
+        p.write_text(SIMPLE.replace("CDEF|GABc|", "CDEF|\nM:6/8\nGAB|"))
+        assert not is_valid_folk_tune(str(p))
+
+    def test_bracket_chord_rejected(self, tmp_path):
+        p = tmp_path / "ch.abc"
+        p.write_text(SIMPLE.replace("CDEF", "[CEG]F"))
+        assert not is_valid_folk_tune(str(p))
+
+    def test_bracket_in_title_ok(self, tmp_path):
+        p = tmp_path / "ti.abc"
+        p.write_text(SIMPLE.replace("T:Test Tune", "T:[Air] Test Tune"))
+        assert is_valid_folk_tune(str(p))
+
+
 class TestValidation:
     def test_valid_tune(self, tmp_path):
         p = tmp_path / "a.abc"
