@@ -70,16 +70,9 @@ class Score:
 
 
 def _default_datasets_dir() -> str:
-    # Repo-relative like mnist.py/dsprites.py (not cwd-relative), so all
-    # dataset roots land in one place regardless of invocation dir.
-    return os.environ.get(
-        "ARVAE_DATASETS_DIR",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            os.pardir,
-            "datasets",
-        ),
-    )
+    from arvae_tpu.data.loaders import datasets_root
+
+    return datasets_root()
 
 
 class BarDataset:
@@ -322,7 +315,8 @@ class BarDataset:
         def mk(sl):
             rows = np.asarray(score[sl], np.int32)
             rows = rows.reshape(-1, TICKS_PER_MEASURE)
-            return DeviceSplit(rows, rows, (TICKS_PER_MEASURE,), "tokens",
+            # labels ARE the score: one HBM copy, one gather collective
+            return DeviceSplit(rows, None, (TICKS_PER_MEASURE,), "tokens",
                                ctx)
 
         return mk(slice(0, i0)), mk(slice(i0, i1))
@@ -335,7 +329,7 @@ class BarDataset:
         n = len(score)
         i1 = int(sum(split) * n)
         rows = np.asarray(score[i1:], np.int32).reshape(-1, TICKS_PER_MEASURE)
-        return DeviceSplit(rows, rows, (TICKS_PER_MEASURE,), "tokens", ctx)
+        return DeviceSplit(rows, None, (TICKS_PER_MEASURE,), "tokens", ctx)
 
 
 # ---------------------------------------------------------------------------
@@ -557,10 +551,22 @@ class FolkBarDataset(BarDataset):
                           self.pitch_range[1] - hi + 1))
 
     def _tokens(self, tune: np.ndarray, shift: int = 0) -> np.ndarray:
-        return np.array(
-            [self.note2index_dicts[nm] for nm in _tune_token_names(tune, shift)],
-            dtype=np.int64,
-        )
+        """Token ids for one tune, growing the vocab on unseen names
+        like the reference's get_tensor (bar_dataset.py:89-99) — a real
+        corpus can contain pitches outside the [55, 84] transposition
+        span the vocab pass registers, and those must not KeyError."""
+        ids = []
+        for nm in _tune_token_names(tune, shift):
+            if nm not in self.note2index_dicts:
+                new_index = len(self.note2index_dicts)
+                self.index2note_dicts[new_index] = nm
+                self.note2index_dicts[nm] = new_index
+                print(f"Warning: Entry {{{new_index}: {nm!r}}} added to "
+                      "dictionaries")
+                self.update_index_dicts()
+                self._attrs = None
+            ids.append(self.note2index_dicts[nm])
+        return np.array(ids, dtype=np.int64)
 
     # -- dataset --------------------------------------------------------------
 
@@ -579,6 +585,11 @@ class FolkBarDataset(BarDataset):
         bars = []
         for tune in self._corpus_tunes():
             bars.append(self.split_tensor_to_bars(self._tokens(tune)[None, :]))
+        if not bars:
+            raise ValueError(
+                f"corpus produced no {self.dataset_type!r} tunes — too few "
+                "valid files for a 90/10 split (need at least 2)"
+            )
         score = np.concatenate(bars, 0)
         os.makedirs(self.dataset_dir_path, exist_ok=True)
         np.savez_compressed(self.dataset_path, score=score, metadata=score)
@@ -629,6 +640,12 @@ class FolkNBarDataset(FolkBarDataset):
                         off * self.beat_subdivisions + seq_ticks,
                     )
                     windows.append(win)
+        if not windows:
+            raise ValueError(
+                f"corpus produced no {self.dataset_type!r} windows — too "
+                "few valid tunes (or every tune's pitch span exceeds the "
+                f"{self.pitch_range} transposition range)"
+            )
         score = np.concatenate(windows, 0)
         os.makedirs(self.dataset_dir_path, exist_ok=True)
         np.savez_compressed(self.dataset_path, score=score, metadata=score)

@@ -57,7 +57,10 @@ class DeviceSplit:
     def __init__(
         self,
         rows: np.ndarray,  # (N, D)
-        labels: np.ndarray,  # (N, L)
+        labels: Optional[np.ndarray],  # (N, L); None or rows itself ⇒
+        #                                labels ARE the rows (one HBM
+        #                                copy, one gather — the music
+        #                                splits)
         image_shape: Tuple[int, ...],
         kind: str,
         ctx: MeshContext,
@@ -68,11 +71,13 @@ class DeviceSplit:
         self.image_shape = tuple(image_shape)
         self.kind = kind
         self.ctx = ctx
+        self.labels_are_rows = labels is None or labels is rows
         if row_sharded is None:
             row_sharded = ctx.n_data > 1
         self.row_sharded = row_sharded and ctx.n_data > 1
         rows = np.ascontiguousarray(rows)
-        labels = np.ascontiguousarray(labels)
+        if not self.labels_are_rows:
+            labels = np.ascontiguousarray(labels)
         if self.row_sharded:
             # Each chip stores N/d rows. Pad with zero rows up to
             # divisibility; the epoch permutation only emits indices
@@ -83,15 +88,19 @@ class DeviceSplit:
                 rows = np.concatenate(
                     [rows, np.zeros((n_pad - self.n,) + rows.shape[1:],
                                     rows.dtype)], axis=0)
-                labels = np.concatenate(
-                    [labels, np.zeros((n_pad - self.n,) + labels.shape[1:],
-                                      labels.dtype)], axis=0)
+                if not self.labels_are_rows:
+                    labels = np.concatenate(
+                        [labels,
+                         np.zeros((n_pad - self.n,) + labels.shape[1:],
+                                  labels.dtype)], axis=0)
             self.local_n = n_pad // d
             self.images = jax.device_put(rows, ctx.batch)
-            self.labels = jax.device_put(labels, ctx.batch)
+            self.labels = (self.images if self.labels_are_rows
+                           else jax.device_put(labels, ctx.batch))
         else:
             self.images = jax.device_put(rows, ctx.replicated)
-            self.labels = jax.device_put(labels, ctx.replicated)
+            self.labels = (self.images if self.labels_are_rows
+                           else jax.device_put(labels, ctx.replicated))
 
     def num_batches(self, batch_size: int) -> int:
         return self.n // batch_size
@@ -109,12 +118,7 @@ class DeviceSplit:
         """
         local_n = self.local_n
 
-        def body(rows_l, labs_l, idx_full):
-            offset = jax.lax.axis_index("data") * local_n
-            li = idx_full - offset
-            ok = (li >= 0) & (li < local_n)
-            li = jnp.clip(li, 0, local_n - 1)
-
+        def make_contrib(li, ok):
             def contrib(x):
                 g = jnp.take(x, li, axis=0)
                 mask = ok.reshape((-1,) + (1,) * (g.ndim - 1))
@@ -127,6 +131,33 @@ class DeviceSplit:
                 )
                 return g.astype(dt)
 
+            return contrib
+
+        def local_idx(idx_full):
+            offset = jax.lax.axis_index("data") * local_n
+            li = idx_full - offset
+            ok = (li >= 0) & (li < local_n)
+            return jnp.clip(li, 0, local_n - 1), ok
+
+        if self.labels_are_rows:
+            # one collective, returned for both roles
+
+            def body1(rows_l, idx_full):
+                li, ok = local_idx(idx_full)
+                return make_contrib(li, ok)(rows_l)
+
+            g = jax.shard_map(
+                body1,
+                mesh=self.ctx.mesh,
+                in_specs=(P("data"), P()),
+                out_specs=P("data"),
+                check_vma=False,
+            )(images, idx)
+            return g, g
+
+        def body(rows_l, labs_l, idx_full):
+            li, ok = local_idx(idx_full)
+            contrib = make_contrib(li, ok)
             return contrib(rows_l), contrib(labs_l)
 
         return jax.shard_map(
@@ -157,7 +188,8 @@ class DeviceSplit:
                 labs = labs[:b]
         else:
             rows = jnp.take(images, idx, axis=0)
-            labs = jnp.take(labels, idx, axis=0)
+            labs = (rows if self.labels_are_rows
+                    else jnp.take(labels, idx, axis=0))
         b = idx.shape[0]
         if self.kind == "tokens":
             imgs = rows

@@ -156,15 +156,9 @@ class DspritesDataset:
         seed: int = 0,
     ):
         if root is None:
-            base = os.environ.get(
-                "ARVAE_DATASETS_DIR",
-                os.path.join(
-                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    os.pardir,
-                    "datasets",
-                ),
-            )
-            root = os.path.join(base, "dsprites")
+            from arvae_tpu.data.loaders import datasets_root
+
+            root = os.path.join(datasets_root(), "dsprites")
         self.root = os.path.abspath(root)
         self.factor_sizes = tuple(factor_sizes)
         self.seed = seed

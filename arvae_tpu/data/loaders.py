@@ -14,9 +14,25 @@ look identical to the original.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Sequence, Tuple
 
 import numpy as np
+
+
+def datasets_root() -> str:
+    """The one place dataset-root resolution lives: the
+    ``ARVAE_DATASETS_DIR`` env var, else ``datasets/`` next to the repo
+    (mnist, dsprites, and the bar datasets all resolve through here so
+    their caches cannot drift into different directories)."""
+    return os.environ.get(
+        "ARVAE_DATASETS_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            os.pardir,
+            "datasets",
+        ),
+    )
 
 
 class EpochLoader:

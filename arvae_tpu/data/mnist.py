@@ -36,15 +36,9 @@ SYNTH_TEST = 2048
 
 
 def _default_root() -> str:
-    base = os.environ.get(
-        "ARVAE_DATASETS_DIR",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            os.pardir,
-            "datasets",
-        ),
-    )
-    return os.path.join(base, "mnist_data")
+    from arvae_tpu.data.loaders import datasets_root
+
+    return os.path.join(datasets_root(), "mnist_data")
 
 
 def _measure_images(imgs_u8: np.ndarray) -> np.ndarray:
@@ -76,8 +70,21 @@ class MnistDataset(SplitArrayDataset):
 
     def _load_or_generate(self, kind: str):
         img_p, lab_p, mor_p = self._paths(kind)
-        if not (os.path.exists(img_p) and os.path.exists(lab_p)):
+        have_img, have_lab = os.path.exists(img_p), os.path.exists(lab_p)
+        if have_img != have_lab:
+            # never silently overwrite the surviving half of a real
+            # corpus with synthetic data
+            missing = lab_p if have_img else img_p
+            raise FileNotFoundError(
+                f"incomplete MNIST archive for {kind!r}: {missing} is "
+                "missing — restore it, or remove the other archive to "
+                "regenerate the synthetic set"
+            )
+        if not have_img:
             self._generate_synthetic(kind)
+            if os.path.exists(mor_p):
+                # measured from whatever images existed before; stale
+                os.remove(mor_p)
         images = idx_io.load_idx(img_p)
         images = np.expand_dims(images, 1).astype(np.float32) / 255.0
         labels = idx_io.load_idx(lab_p).astype(np.int64)
@@ -119,27 +126,28 @@ class MorphoMnistDataset(MnistDataset):
         self.train_arrays = self._full_train
         self.val_arrays = self._full_test
 
+    def _mk_device_split(self, ctx, arrays):
+        from arvae_tpu.data.device_data import DeviceSplit
+
+        images, _, morpho = arrays
+        rows = (np.asarray(images)[:, 0] * 255).astype(np.uint8)
+        rows = rows.reshape(len(rows), -1)
+        return DeviceSplit(
+            rows, np.asarray(morpho, np.float32), (1, 28, 28), "bytes", ctx,
+        )
+
     def device_splits(self, ctx, split=(0.70, 0.20)):
         """Device-resident (train, val) splits: uint8 pixel rows +
         morpho labels on device (see arvae_tpu.data.device_data).
         The fixed file-based train/test split stands in for `split`,
         mirroring data_loaders."""
-        from arvae_tpu.data.device_data import DeviceSplit
-
         del split
-
-        def mk(arrays):
-            images, _, morpho = arrays
-            rows = (np.asarray(images)[:, 0] * 255).astype(np.uint8)
-            rows = rows.reshape(len(rows), -1)
-            return DeviceSplit(
-                rows, np.asarray(morpho, np.float32), (1, 28, 28), "bytes",
-                ctx,
-            )
-
-        return mk(self._full_train), mk(self._full_test)
+        return (self._mk_device_split(ctx, self._full_train),
+                self._mk_device_split(ctx, self._full_test))
 
     def device_eval_split(self, ctx, split=None):
-        """Eval split == the test files (mirrors data_loaders)."""
+        """Eval split == the test files ONLY (mirrors data_loaders) —
+        eval-only invocations must not pay the train split's
+        host→device upload on this tunneled transport."""
         del split
-        return self.device_splits(ctx)[1]
+        return self._mk_device_split(ctx, self._full_test)
