@@ -40,6 +40,7 @@ def build_dataset_dict(short: bool):
     folk_ds = FolkNBarDataset(**music_kwargs)
 
     def music_model(ds):
+        ds.get_dataset()  # finalize any vocab growth before sizing
         return MeasureVAE(
             num_notes=len(ds.note2index_dicts),
             note_embedding_dim=10,

@@ -29,6 +29,7 @@ def build_trainer():
     # (the --glsr path does not come through here: VAETesterGLSR wires
     # its own GLSR trainer + checkpoint restore)
     dataset = FolkNBarDataset(dataset_type="train", is_short=True, num_bars=1)
+    dataset.get_dataset()  # finalize any vocab growth before sizing
     model = MeasureVAE(
         num_notes=len(dataset.note2index_dicts),
         note_embedding_dim=10,
@@ -86,6 +87,7 @@ def main():
 
         dataset = FolkNBarDataset(dataset_type="train", is_short=True,
                                   num_bars=1)
+        dataset.get_dataset()  # finalize any vocab growth before sizing
         model = MeasureVAE(
             num_notes=len(dataset.note2index_dicts),
             note_embedding_dim=10, num_encoder_layers=2,

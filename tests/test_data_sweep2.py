@@ -93,6 +93,35 @@ class TestVocabGrowth:
         # attribute tables regenerate against the grown vocab
         assert ds.attrs.vocab_size == before + 1
 
+    def test_stale_vocab_cache_grows_during_build(self, tmp_path,
+                                                  monkeypatch):
+        """A dict file cached from a different corpus can miss names the
+        current corpus uses (e.g. --short cache, then a full run);
+        make_dataset must grow the vocab so that sizing the model AFTER
+        get_dataset() (as the CLIs do) covers every token id."""
+        monkeypatch.setenv("ARVAE_DATASETS_DIR", str(tmp_path))
+        from arvae_tpu.data.bar_dataset import (FolkBarDataset,
+                                                _tune_token_names)
+        from arvae_tpu.data.music_theory import (REST_SYMBOL, SLUR_SYMBOL)
+
+        ds = FolkBarDataset(is_short=True)
+        # a name the shift-0 corpus actually uses
+        used = set()
+        for tune in ds._corpus_tunes():
+            used |= set(_tune_token_names(tune, 0))
+        victim = sorted(used - {SLUR_SYMBOL, REST_SYMBOL})[-1]
+        i2n = {i: n for i, n in ds.index2note_dicts.items() if n != victim}
+        i2n = {j: n for j, n in enumerate(i2n.values())}
+        n2i = {n: j for j, n in i2n.items()}
+        with open(ds.dict_path, "w") as f:
+            f.write("%s\n%s\n" % (i2n, n2i))
+
+        stale = FolkBarDataset(is_short=True)
+        assert victim not in stale.note2index_dicts
+        score, _ = stale.get_dataset()
+        assert victim in stale.note2index_dicts  # grown during build
+        assert int(score.max()) < len(stale.note2index_dicts)
+
     def test_growth_is_idempotent(self, tmp_path, monkeypatch):
         monkeypatch.setenv("ARVAE_DATASETS_DIR", str(tmp_path))
         from arvae_tpu.data.bar_dataset import FolkBarDataset

@@ -106,6 +106,10 @@ def main(
         )
     else:
         raise ValueError("Invalid dataset_type. Choose between `folk` and `bach`")
+    # Finalize the corpus BEFORE sizing the model: make_dataset can grow
+    # the vocab on names outside a cached dict file's span, and the
+    # embedding table must cover the grown vocabulary.
+    dataset.get_dataset()
 
     attr_dict = MUSIC_REG_TYPE
     reg_type = tuple(reg_type or ())
