@@ -9,10 +9,9 @@ START/END window padding, and the attribute extractors (delegated to
 the tensorized :mod:`arvae_tpu.data.attributes`).
 
 Corpus sources, in priority order:
-1. The reference's ABC ingestion requires music21 (absent in this
-   environment). If ``music21`` is importable and ``folk_raw_data/``
-   holds .abc files, the real pipeline can be slotted in behind
-   ``_ingest_real_corpus`` (kept import-gated).
+1. If ``folk_raw_data/`` holds .abc files they are ingested with the
+   native ABC parser (:mod:`arvae_tpu.data.abc_parser`) through the
+   reference's validity pipeline (file-list cache, 25k cap, shuffle).
 2. Otherwise a deterministic synthetic folk/chorale corpus is
    generated: monophonic tunes with metrically-weighted onset
    patterns and bounded random-walk melodies in the reference's
@@ -34,7 +33,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from arvae_tpu.data.attributes import MusicAttributes
-from arvae_tpu.data.loaders import EpochLoader
+from arvae_tpu.data.loaders import EpochLoader, datasets_root
 from arvae_tpu.data.music_theory import (
     END_SYMBOL,
     REST_SYMBOL,
@@ -69,12 +68,6 @@ class Score:
         self.write_midi(fp)
 
 
-def _default_datasets_dir() -> str:
-    from arvae_tpu.data.loaders import datasets_root
-
-    return datasets_root()
-
-
 class BarDataset:
     """Abstract base (reference bar_dataset.py:19-542)."""
 
@@ -96,7 +89,7 @@ class BarDataset:
         self.beat_subdivisions = len(TICK_DURATIONS)
         self.tick_durations = TICK_DURATIONS
         self.class_name: Optional[str] = None
-        self.dataset_dir_path = _default_datasets_dir()
+        self.dataset_dir_path = datasets_root()
         self.note2index_dicts: Optional[Dict] = None
         self.index2note_dicts: Optional[Dict] = None
         self._attrs: Optional[MusicAttributes] = None
@@ -137,6 +130,32 @@ class BarDataset:
         self.note2index_dicts = ast.literal_eval(dicts[1])
         return True
 
+    def _token_index(self, name: str) -> int:
+        """Token id for a note name, growing the vocabulary on unseen
+        names like the reference's get_tensor (bar_dataset.py:89-99).
+        On a miss the dict file is re-read first, so growth merges with
+        entries another dataset object sharing this vocab file may have
+        appended since (train/test pairs and the bar/n-bar variants all
+        share one file per corpus/time-signature); every mutation is
+        persisted immediately, so disk ⊇ memory always holds."""
+        idx = self.note2index_dicts.get(name)
+        if idx is not None:
+            return idx
+        if os.path.exists(self.dict_path):
+            self.read_index_dicts()
+            self._attrs = None
+            idx = self.note2index_dicts.get(name)
+            if idx is not None:
+                return idx
+        new_index = len(self.note2index_dicts)
+        self.index2note_dicts[new_index] = name
+        self.note2index_dicts[name] = new_index
+        print(f"Warning: Entry {{{new_index}: {name!r}}} added to "
+              "dictionaries")
+        self.update_index_dicts()
+        self._attrs = None
+        return new_index
+
     def build_vocab(self, note_names: Sequence[str]) -> None:
         """Vocabulary from a name set + specials
         (reference bar_dataset.py:589-608; insertion order stands in for
@@ -172,15 +191,7 @@ class BarDataset:
             if tick >= length:
                 continue
             name = REST_SYMBOL if pitch < 0 else midi_to_note_name(pitch)
-            if name not in self.note2index_dicts:
-                new_index = len(self.note2index_dicts)
-                self.index2note_dicts[new_index] = name
-                self.note2index_dicts[name] = new_index
-                print(f"Warning: Entry {{{new_index}: {name!r}}} added to "
-                      "dictionaries")
-                self.update_index_dicts()
-                self._attrs = None
-            tokens[tick] = self.note2index_dicts[name]
+            tokens[tick] = self._token_index(name)
         return tokens[None, :]
 
     def split_tensor_to_bars(self, score_tensor: np.ndarray) -> np.ndarray:
@@ -551,22 +562,13 @@ class FolkBarDataset(BarDataset):
                           self.pitch_range[1] - hi + 1))
 
     def _tokens(self, tune: np.ndarray, shift: int = 0) -> np.ndarray:
-        """Token ids for one tune, growing the vocab on unseen names
-        like the reference's get_tensor (bar_dataset.py:89-99) — a real
-        corpus can contain pitches outside the [55, 84] transposition
-        span the vocab pass registers, and those must not KeyError."""
-        ids = []
-        for nm in _tune_token_names(tune, shift):
-            if nm not in self.note2index_dicts:
-                new_index = len(self.note2index_dicts)
-                self.index2note_dicts[new_index] = nm
-                self.note2index_dicts[nm] = new_index
-                print(f"Warning: Entry {{{new_index}: {nm!r}}} added to "
-                      "dictionaries")
-                self.update_index_dicts()
-                self._attrs = None
-            ids.append(self.note2index_dicts[nm])
-        return np.array(ids, dtype=np.int64)
+        """Token ids for one tune — a real corpus can contain pitches
+        outside the span a cached vocab file registers, and those grow
+        the vocabulary (``_token_index``) rather than KeyError."""
+        return np.array(
+            [self._token_index(nm) for nm in _tune_token_names(tune, shift)],
+            dtype=np.int64,
+        )
 
     # -- dataset --------------------------------------------------------------
 
@@ -585,10 +587,13 @@ class FolkBarDataset(BarDataset):
         bars = []
         for tune in self._corpus_tunes():
             bars.append(self.split_tensor_to_bars(self._tokens(tune)[None, :]))
-        if not bars:
+        if sum(b.shape[0] for b in bars) == 0:
+            # covers both no tunes at all and all-sub-measure tunes
+            # (split_tensor_to_bars yields (0, 24) for those)
             raise ValueError(
-                f"corpus produced no {self.dataset_type!r} tunes — too few "
-                "valid files for a 90/10 split (need at least 2)"
+                f"corpus produced no {self.dataset_type!r} bars — too few "
+                "valid files for a 90/10 split (need at least 2), or every "
+                "tune is shorter than one measure"
             )
         score = np.concatenate(bars, 0)
         os.makedirs(self.dataset_dir_path, exist_ok=True)

@@ -29,7 +29,7 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from arvae_tpu.data.loaders import EpochLoader
+from arvae_tpu.data.loaders import EpochLoader, datasets_root
 
 DSPRITES_NPZ = "dsprites_ndarray_co1sh3sc6or40x32y32_64x64.npz"
 
@@ -156,8 +156,6 @@ class DspritesDataset:
         seed: int = 0,
     ):
         if root is None:
-            from arvae_tpu.data.loaders import datasets_root
-
             root = os.path.join(datasets_root(), "dsprites")
         self.root = os.path.abspath(root)
         self.factor_sizes = tuple(factor_sizes)

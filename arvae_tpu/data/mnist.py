@@ -24,7 +24,7 @@ from typing import Optional, Tuple
 import numpy as np
 import pandas as pd
 
-from arvae_tpu.data.loaders import SplitArrayDataset
+from arvae_tpu.data.loaders import SplitArrayDataset, datasets_root
 from arvae_tpu.data.morphomnist import io as idx_io
 from arvae_tpu.data.morphomnist.measure import measure_batch
 from arvae_tpu.data.synthetic_digits import generate_digit_set
@@ -36,8 +36,6 @@ SYNTH_TEST = 2048
 
 
 def _default_root() -> str:
-    from arvae_tpu.data.loaders import datasets_root
-
     return os.path.join(datasets_root(), "mnist_data")
 
 
@@ -88,6 +86,14 @@ class MnistDataset(SplitArrayDataset):
         images = idx_io.load_idx(img_p)
         images = np.expand_dims(images, 1).astype(np.float32) / 255.0
         labels = idx_io.load_idx(lab_p).astype(np.int64)
+        if os.path.exists(mor_p):
+            # a cached CSV measured from a different image set (e.g. the
+            # synthetic pair replaced by real archives) must not load as
+            # misaligned labels
+            if len(pd.read_csv(mor_p)) != len(images):
+                print(f"morphometrics cache {mor_p} does not match the "
+                      f"{len(images)}-image archive; re-measuring")
+                os.remove(mor_p)
         if not os.path.exists(mor_p):
             print(f"measuring morphometrics for {kind} ({len(images)} images)...")
             morpho = _measure_images((images[:, 0] * 255).astype(np.uint8))

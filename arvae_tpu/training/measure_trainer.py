@@ -70,6 +70,18 @@ class MeasureVAETrainer(BaseTrainer):
         if use_pallas is None:
             use_pallas = False  # XLA fuses the pairwise block as fast (see ops/losses.py)
         self.use_pallas = use_pallas
+        # Finalize the corpus before caching the vocab-sized attribute
+        # tables: make_dataset can grow the vocabulary past a stale dict
+        # cache, and embedding lookups clamp inside jit (silently wrong)
+        # rather than raising — catch the undersized model loudly here.
+        dataset.get_dataset()
+        if model.num_notes < len(dataset.note2index_dicts):
+            raise ValueError(
+                f"model num_notes={model.num_notes} is smaller than the "
+                f"finalized vocabulary ({len(dataset.note2index_dicts)}); "
+                "size the model AFTER dataset.get_dataset() — the corpus "
+                "build grew the vocab past the cached dict file"
+            )
         self.attrs = dataset.attrs  # MusicAttributes tables
 
     # -- identity --------------------------------------------------------------

@@ -143,7 +143,18 @@ class TestEmptyCorpus:
 
         ds = FolkBarDataset(is_short=True, dataset_type="test")
         ds._tunes = []
-        with pytest.raises(ValueError, match="produced no 'test' tunes"):
+        with pytest.raises(ValueError, match="produced no 'test' bars"):
+            ds.make_dataset()
+
+    def test_all_submeasure_tunes_raise(self, tmp_path, monkeypatch):
+        """Tunes shorter than one measure yield (0, 24) bar blocks; the
+        guard must fire on total rows, not list emptiness."""
+        monkeypatch.setenv("ARVAE_DATASETS_DIR", str(tmp_path))
+        from arvae_tpu.data.bar_dataset import FolkBarDataset
+
+        ds = FolkBarDataset(is_short=True)
+        ds._tunes = [np.array([60, -1, -1], np.int64)]  # 3 ticks < 24
+        with pytest.raises(ValueError, match="produced no 'train' bars"):
             ds.make_dataset()
 
     def test_nbar_dataset_raises(self, tmp_path, monkeypatch):
@@ -160,11 +171,11 @@ class TestDatasetsRoot:
     def test_env_var_wins_everywhere(self, tmp_path, monkeypatch):
         monkeypatch.setenv("ARVAE_DATASETS_DIR", str(tmp_path))
         from arvae_tpu.data.loaders import datasets_root
-        from arvae_tpu.data.bar_dataset import _default_datasets_dir
+        from arvae_tpu.data.bar_dataset import FolkBarDataset
         from arvae_tpu.data import dsprites, mnist
 
         assert datasets_root() == str(tmp_path)
-        assert _default_datasets_dir() == str(tmp_path)
+        assert FolkBarDataset(is_short=True).dataset_dir_path == str(tmp_path)
         assert dsprites.DspritesDataset.__init__.__defaults__  # sanity
         ds = dsprites.DspritesDataset(factor_sizes=(1, 2, 2, 2, 2, 2))
         assert ds.root == os.path.join(str(tmp_path), "dsprites")
@@ -213,3 +224,35 @@ class TestMnistArchiveGuards:
         os.remove(lab_p)
         ds2 = m.MnistDataset(root=str(tmp_path))
         assert ds2._full_train[2].shape[0] == ds2._full_train[0].shape[0]
+
+    def test_mismatched_morpho_csv_remeasured(self, tmp_path, monkeypatch):
+        """A morpho CSV whose row count doesn't match the archives (e.g.
+        real archives dropped over a synthetic cache) is re-measured
+        instead of loading misaligned labels."""
+        m = self._tiny_synth(monkeypatch)
+        ds = m.MnistDataset(root=str(tmp_path))
+        _, _, mor_p = ds._paths("train")
+        import pandas as pd
+
+        truncated = pd.read_csv(mor_p).iloc[:5]
+        truncated.to_csv(mor_p, index=False)
+        ds2 = m.MnistDataset(root=str(tmp_path))
+        assert ds2._full_train[2].shape[0] == ds2._full_train[0].shape[0]
+
+
+class TestUndersizedModelGuard:
+    def test_trainer_rejects_stale_sized_model(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("ARVAE_DATASETS_DIR", str(tmp_path))
+        from arvae_tpu.data.bar_dataset import FolkNBarDataset
+        from arvae_tpu.models.measure_vae import MeasureVAE
+        from arvae_tpu.training.measure_trainer import MeasureVAETrainer
+
+        ds = FolkNBarDataset(dataset_type="train", is_short=True, num_bars=1)
+        model = MeasureVAE(
+            num_notes=len(ds.note2index_dicts) - 1,  # stale-cache sizing
+            note_embedding_dim=4, num_encoder_layers=1,
+            encoder_hidden_size=8, latent_space_dim=4,
+            num_decoder_layers=1, decoder_hidden_size=8,
+        )
+        with pytest.raises(ValueError, match="smaller than the finalized"):
+            MeasureVAETrainer(dataset=ds, model=model)
