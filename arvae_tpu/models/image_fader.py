@@ -40,31 +40,28 @@ class ImageFaderDiscriminator(nn.Module):
         return jax.nn.sigmoid(h)
 
 
-class MnistFaderNetwork(MnistVAE):
+class _FaderForward:
+    """The fader forward pass, shared by both dataset variants: a
+    deterministic encode (mean head only — reference image_fader.py:38-44
+    drops the sampling) and a label-conditioned decode."""
+
+    def encode_deterministic(self, x, train: bool = True):
+        h = self._enc_hidden(x, train)
+        return self.enc_mean(h)
+
+    def __call__(self, x, labels, *, train: bool = True):
+        z = self.encode_deterministic(x, train=train)
+        logits = self.decode(jnp.concatenate([z, labels], axis=1), train=train)
+        return logits, z
+
+
+class MnistFaderNetwork(_FaderForward, MnistVAE):
     """Reference image_fader.py:27-69. num_attributes = 6 morphometrics."""
 
     num_attributes: int = 6
 
-    def encode_deterministic(self, x, train: bool = True):
-        h = self._enc_hidden(x, train)
-        return self.enc_mean(h)
 
-    def __call__(self, x, labels, *, train: bool = True):
-        z = self.encode_deterministic(x, train=train)
-        logits = self.decode(jnp.concatenate([z, labels], axis=1), train=train)
-        return logits, z
-
-
-class DspritesFaderNetwork(DspritesVAE):
+class DspritesFaderNetwork(_FaderForward, DspritesVAE):
     """Reference image_fader.py:72-117. num_attributes = 5 latent factors."""
 
     num_attributes: int = 5
-
-    def encode_deterministic(self, x, train: bool = True):
-        h = self._enc_hidden(x, train)
-        return self.enc_mean(h)
-
-    def __call__(self, x, labels, *, train: bool = True):
-        z = self.encode_deterministic(x, train=train)
-        logits = self.decode(jnp.concatenate([z, labels], axis=1), train=train)
-        return logits, z

@@ -49,6 +49,19 @@ def _to_nhwc(x: jax.Array) -> jax.Array:
     return x
 
 
+def reparametrize_keys(
+    k_eps: jax.Array, k_prior: jax.Array,
+    z_mean: jax.Array, z_log_std: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """The one reparametrization convention, shared by every model
+    family (MeasureVAE passes its own pre-split keys so its RNG stream
+    is unchanged by the sharing)."""
+    eps = jax.random.normal(k_eps, z_mean.shape, z_mean.dtype)
+    z_tilde = z_mean + jnp.exp(z_log_std) * eps
+    z_prior = jax.random.normal(k_prior, z_mean.shape, z_mean.dtype)
+    return z_tilde, z_prior
+
+
 def reparametrize(
     rng: jax.Array, z_mean: jax.Array, z_log_std: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -57,10 +70,7 @@ def reparametrize(
     Matches ``MnistVAE.reparametrize`` (reference mnist_vae.py:74-87).
     """
     k1, k2 = jax.random.split(rng)
-    eps = jax.random.normal(k1, z_mean.shape, z_mean.dtype)
-    z_tilde = z_mean + jnp.exp(z_log_std) * eps
-    z_prior = jax.random.normal(k2, z_mean.shape, z_mean.dtype)
-    return z_tilde, z_prior
+    return reparametrize_keys(k1, k2, z_mean, z_log_std)
 
 
 class MnistVAE(nn.Module):

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
+from arvae_tpu.models.image_vae import reparametrize_keys
 from arvae_tpu.ops.gru import (
     gru_forward,
     init_stacked_gru_params,
@@ -298,6 +299,7 @@ class SRDecoderNoInput(nn.Module):
     sampling: str = "argmax"  # 'argmax' | 'multinomial'
 
     def setup(self):
+        _check_sampling(self.sampling)
         H, V = self.rnn_hidden_size, self.num_notes
         self.z2in_w, self.z2in_b = _dense_params(self, "z2in", self.z_dim, H)
         self.gru = self.param(
@@ -556,9 +558,9 @@ class MeasureVAE(nn.Module):
         z_mean, z_log_std = self.encoder(
             score, train=train, dropout_rng=k_enc if train else None
         )
-        eps = jax.random.normal(k_rep, z_mean.shape, z_mean.dtype)
-        z_tilde = z_mean + jnp.exp(z_log_std) * eps
-        z_prior = jax.random.normal(k_prior, z_mean.shape, z_mean.dtype)
+        z_tilde, z_prior = reparametrize_keys(
+            k_rep, k_prior, z_mean, z_log_std
+        )
         weights, samples = self.decoder(z_tilde, score, train=train, key=k_dec)
         return MeasureVAEOutput(
             weights=weights,

@@ -24,7 +24,10 @@ contribution ``g_ij = sign(t_ij - s_ij)(1 - t_ij²) * delta`` satisfies
 
 — a single row-sum pass, same tiling as the forward (custom VJP; the
 attribute column gets no gradient — ``sign`` is flat a.e., matching
-torch autograd through ``torch.sign`` in the reference).
+torch autograd through ``torch.sign`` in the reference). ``delta``
+gets its true gradient ``1/B² · Σ sign(t-s)(1-t²)·dz`` (symmetric
+under i↔j), accumulated in the same backward pass, so the kernel stays
+a drop-in for the XLA path under any differentiation.
 
 Stacked over R regularized dims: inputs (R, B) → per-dim losses (R,).
 Runs in interpret mode off-TPU so tests pass on the CPU mesh.
@@ -107,7 +110,7 @@ def _fwd_kernel(delta_ref, z_ref, a_ref, out_ref, *,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(delta_ref, z_ref, a_ref, dz_ref, *,
+def _bwd_kernel(delta_ref, z_ref, a_ref, dz_ref, dd_ref, *,
                 b_real: int, tile_i: int, tile_j: int, nj: int):
     r = pl.program_id(0)
     i = pl.program_id(1)
@@ -116,19 +119,30 @@ def _bwd_kernel(delta_ref, z_ref, a_ref, dz_ref, *,
     z = z_ref[r, pl.ds(i * tile_i, tile_i)].reshape(tile_i, 1)
     a = a_ref[r, pl.ds(i * tile_i, tile_i)].reshape(tile_i, 1)
 
-    def body(j, acc):
+    def body(j, carry):
+        acc, acc_d = carry
         z_t = z_ref[r, pl.ds(j * tile_j, tile_j)].reshape(1, tile_j)
         a_t = a_ref[r, pl.ds(j * tile_j, tile_j)].reshape(1, tile_j)
         t, s = _pair_tile(z, a, z_t, a_t, delta)
         mask = _tile_mask(i * tile_i, j * tile_j, tile_i, tile_j, b_real)
-        g = jnp.where(mask, jnp.sign(t - s) * (1.0 - t * t) * delta, 0.0)
-        return acc + jnp.sum(g, axis=1)
+        core = jnp.sign(t - s) * (1.0 - t * t)
+        g = jnp.where(mask, core * delta, 0.0)
+        # dL/ddelta integrand: same core times dz instead of delta
+        g_d = jnp.where(mask, core * (z - z_t), 0.0)
+        return acc + jnp.sum(g, axis=1), acc_d + jnp.sum(g_d)
 
-    row_sums = jax.lax.fori_loop(
-        0, nj, body, jnp.zeros((tile_i,), jnp.float32)
+    row_sums, d_sum = jax.lax.fori_loop(
+        0, nj, body,
+        (jnp.zeros((tile_i,), jnp.float32), jnp.float32(0.0)),
     )
     # antisymmetry g_ji = -g_ij folds the column pass into the row pass
     dz_ref[r, pl.ds(i * tile_i, tile_i)] = 2.0 * row_sums
+
+    @pl.when(i == 0)
+    def _():
+        dd_ref[r, 0] = 0.0
+
+    dd_ref[r, 0] += d_sum
 
 
 # ---------------------------------------------------------------------------
@@ -136,9 +150,24 @@ def _bwd_kernel(delta_ref, z_ref, a_ref, dz_ref, *,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
 def fused_reg_loss(z_cols: jax.Array, a_cols: jax.Array, delta) -> jax.Array:
-    """Per-dim AR reg losses. z_cols, a_cols: (R, B) → (R,) float32."""
+    """Per-dim AR reg losses. z_cols, a_cols: (R, B) → (R,) float32.
+
+    Casts to float32 OUTSIDE the custom VJP so integer attribute labels
+    (which the XLA path accepts — ``attribute_reg_loss`` casts
+    internally) get their symbolic-zero cotangent handled by JAX's
+    convert_element_type rule instead of tripping custom_vjp's float0
+    requirement."""
+    return _fused_reg_loss(
+        z_cols.astype(jnp.float32),
+        a_cols.astype(jnp.float32),
+        jnp.asarray(delta, jnp.float32),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _fused_reg_loss(z_cols: jax.Array, a_cols: jax.Array,
+                    delta: jax.Array) -> jax.Array:
     return _fwd_value(z_cols, a_cols, delta)
 
 
@@ -161,8 +190,15 @@ def _call_kernel(kernel, z_cols, a_cols, delta, out_full_row: bool):
     # the (8, 128) block-tiling constraint for row blocks with R not a
     # multiple of 8.
     if out_full_row:
-        out_shape = jax.ShapeDtypeStruct((r, bp), jnp.float32)
-        out_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        # backward: (dz rows, per-dim ddelta accumulator)
+        out_shape = (
+            jax.ShapeDtypeStruct((r, bp), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+        )
+        out_spec = (
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
     else:
         out_shape = jax.ShapeDtypeStruct((r, 1), jnp.float32)
         out_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -196,9 +232,16 @@ def _fwd(z_cols, a_cols, delta):
 def _bwd(residuals, ct):
     z_cols, a_cols, delta = residuals
     b = z_cols.shape[1]
-    raw = _call_kernel(_bwd_kernel, z_cols, a_cols, delta, out_full_row=True)
-    dz = raw[:, : z_cols.shape[1]] * (ct[:, None] * (1.0 / (float(b) * float(b))))
-    return dz.astype(z_cols.dtype), jnp.zeros_like(a_cols), jnp.zeros(())
+    inv_b2 = 1.0 / (float(b) * float(b))
+    raw, dd = _call_kernel(_bwd_kernel, z_cols, a_cols, delta,
+                           out_full_row=True)
+    dz = raw[:, : z_cols.shape[1]] * (ct[:, None] * inv_b2)
+    ddelta = jnp.sum(ct * dd[:, 0]) * inv_b2
+    return (
+        dz.astype(z_cols.dtype),
+        jnp.zeros_like(a_cols),
+        ddelta.reshape(()).astype(jnp.float32),
+    )
 
 
-fused_reg_loss.defvjp(_fwd, _bwd)
+_fused_reg_loss.defvjp(_fwd, _bwd)

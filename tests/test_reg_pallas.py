@@ -89,3 +89,47 @@ def test_nondivisible_batch_b700_tiled():
     g_pallas = jax.grad(lambda q: jnp.sum(fused_reg_loss(q, a, 1.0)))(z)
     g_xla = jax.grad(lambda q: jnp.sum(_xla_per_dim(q, a, 1.0)))(z)
     np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("r,b", [(2, 128), (3, 100)])
+def test_delta_grad_matches_xla(r, b):
+    """d/d-delta must flow through the kernel (it used to be a silent
+    hard-coded zero), matching the XLA path's true gradient."""
+    rng = np.random.RandomState(7)
+    z = jnp.array(rng.randn(r, b), jnp.float32)
+    a = jnp.array(rng.randn(r, b), jnp.float32)
+
+    g_pallas = jax.grad(lambda d: jnp.sum(fused_reg_loss(z, a, d)))(1.7)
+    g_xla = jax.grad(lambda d: jnp.sum(_xla_per_dim(z, a, d)))(1.7)
+    assert abs(float(g_xla)) > 1e-4  # the true gradient is nonzero
+    np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-4, atol=1e-6)
+
+    # and jointly with z, under jit
+    (gz_p, gd_p) = jax.jit(jax.grad(
+        lambda q, d: jnp.sum(fused_reg_loss(q, a, d)), argnums=(0, 1)
+    ))(z, 1.7)
+    (gz_x, gd_x) = jax.grad(
+        lambda q, d: jnp.sum(_xla_per_dim(q, a, d)), argnums=(0, 1)
+    )(z, 1.7)
+    np.testing.assert_allclose(gz_p, gz_x, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(gd_p, gd_x, rtol=1e-4, atol=1e-6)
+
+
+def test_integer_labels_grad():
+    """Integer attribute labels (raw class/position ids) must work under
+    grad exactly like the XLA path, which casts internally — the custom
+    VJP used to emit an invalid non-float0 cotangent for them."""
+    rng = np.random.RandomState(3)
+    z = jnp.array(rng.randn(2, 128), jnp.float32)
+    a_int = jnp.array(rng.randint(0, 5, (2, 128)), jnp.int32)
+
+    np.testing.assert_allclose(
+        fused_reg_loss(z, a_int, 1.0),
+        _xla_per_dim(z, a_int.astype(jnp.float32), 1.0),
+        rtol=1e-5,
+    )
+    g_pallas = jax.grad(lambda q: jnp.sum(fused_reg_loss(q, a_int, 1.0)))(z)
+    g_xla = jax.grad(
+        lambda q: jnp.sum(_xla_per_dim(q, a_int.astype(jnp.float32), 1.0))
+    )(z)
+    np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-4, atol=1e-6)

@@ -129,3 +129,24 @@ class TestMeasureVAEDecoderKnob:
         assert "_SRDecoder_" in tr.model_repr()
         # one tiny epoch end-to-end with the variant decoder
         tr.train_model(batch_size=64, num_epochs=1, log=False)
+
+
+class TestSamplingValidation:
+    """Every decoder variant must reject unknown sampling modes at init
+    (a typo must not silently train with argmax)."""
+
+    @pytest.mark.parametrize("cls", [SRDecoder, SRDecoderNoInput])
+    def test_bad_sampling_raises(self, cls):
+        with pytest.raises(NotImplementedError, match="sampling"):
+            _decoder(cls, sampling="multinomail")
+
+    def test_hierarchical_bad_sampling_raises(self):
+        model = MeasureVAE(
+            num_notes=V, note_embedding_dim=4, num_encoder_layers=1,
+            encoder_hidden_size=8, latent_space_dim=4,
+            num_decoder_layers=1, decoder_hidden_size=8,
+            sampling="multinomail",
+        )
+        score = jnp.zeros((2, 24), jnp.int32)
+        with pytest.raises(NotImplementedError, match="sampling"):
+            model.init({"params": jax.random.key(0), **_rngs()}, score)
