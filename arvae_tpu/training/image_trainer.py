@@ -66,9 +66,9 @@ DATASET_REG_TYPE_DICT = {"mnist": MNIST_REG_TYPES, "dsprites": DSPRITES_REG_TYPE
 
 def get_reg_dim(attr_dict) -> Tuple[int, ...]:
     """All regularizable dims (reference image_vae_trainer.py:55-62)."""
-    return tuple(
-        v for k, v in attr_dict.items() if k not in ("digit_identity", "color")
-    )
+    from arvae_tpu.core.config import expand_reg_dims
+
+    return expand_reg_dims(("all",), attr_dict)
 
 
 class ImageVAETrainer(BaseTrainer):

@@ -2,8 +2,9 @@
 recipe.
 
 Measures REAL training-loop steps/sec — the device-resident input path
-(dataset in HBM, batch gather + bit-unpack inside jit, 32 steps per
-dispatch via lax.scan; see arvae_tpu/data/device_data.py) driving the
+(dataset in HBM, batch gather + bit-unpack inside jit, 64 steps per
+dispatch via lax.scan, DeviceEpochRunner's default; see
+arvae_tpu/data/device_data.py) driving the
 full dSprites AR-VAE objective (recon + KLD + 5-dim pairwise AR reg,
 batch 128, the reference recipe from ``train_image_vae.py:15-19`` with
 the paper's AR-VAE hyperparameters). The data is a synthetic packed
@@ -228,7 +229,19 @@ def main():
         }))
         return
 
-    ours, image_flops_step = measure_ours()
+    try:
+        ours, image_flops_step = measure_ours()
+    except Exception as e:
+        # The one-JSON-line contract holds even if the tunnel dies
+        # mid-measurement (the longest TPU exposure in the script).
+        print(json.dumps({
+            "metric": "dsprites_arvae_train_steps_per_sec_b128",
+            "value": 0.0,
+            "unit": "steps/sec",
+            "vs_baseline": None,
+            "error": f"headline measurement failed: {e!r}"[:200],
+        }))
+        return
     base = baseline_steps_per_sec()
     vs = ours / base if base == base else float("nan")
     out = {
@@ -249,15 +262,23 @@ def main():
     import threading
 
     done = threading.Event()
+    emit_lock = threading.Lock()
+
+    def _emit_once(payload) -> bool:
+        # Single-shot: exactly one of the watchdog and the main thread
+        # prints, even if the timer fires as the main thread finishes.
+        with emit_lock:
+            if done.is_set():
+                return False
+            done.set()
+            print(json.dumps(payload))
+            sys.stdout.flush()
+            return True
 
     def _bail():
-        if not done.is_set():
-            out["secondary_timeout"] = True
-            try:
-                print(json.dumps(out))
-                sys.stdout.flush()
-            finally:
-                os._exit(0)
+        out["secondary_timeout"] = True
+        if _emit_once(out):
+            os._exit(0)
 
     watchdog = threading.Timer(900.0, _bail)
     watchdog.daemon = True
@@ -303,9 +324,8 @@ def main():
     except Exception as e:  # pragma: no cover - transport failure path
         out["roofline_error"] = repr(e)[:200]
 
-    done.set()
+    _emit_once(out)
     watchdog.cancel()
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -76,13 +76,13 @@ def main(dataset_type, batch_size, num_epochs, lr, capacity, dec_dist,
                     continue
                 trainer.train_model(batch_size=batch_size,
                                     num_epochs=num_epochs, log=log)
-                trainer.writer = None
-                metrics = trainer.compute_eval_metrics(batch_size=batch_size)
-                print(json.dumps(metrics, indent=2))
             else:
                 trainer.load_model()
             trainer.writer = None
+            # one compute per cell; the fresh-train case writes the
+            # results cache here and the cached case re-reads it
             r = trainer.compute_eval_metrics(batch_size=batch_size)
+            print(json.dumps(r, indent=2))
             row = [g, d]
             for k in EVAL_METRIC_DICT.keys():
                 row.append(r[k]["mean"][1] if k == "interpretability" else r[k])

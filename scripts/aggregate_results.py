@@ -18,12 +18,15 @@ KEYS = ["mig", "SAP_score", "Corr_score", "modularity_score", "test_acc"]
 
 def collect(pattern: str):
     mets = {}
-    dirs = sorted(glob.glob(pattern))
-    for d in dirs:
+    n_read = 0
+    for d in sorted(glob.glob(pattern)):
         try:
             r = json.load(open(d + "/results_dict.json"))
         except FileNotFoundError:
+            # run dir exists but never finished (no results cache) —
+            # it must not count toward the "(n runs)" header
             continue
+        n_read += 1
         for k in KEYS:
             if k in r:
                 mets.setdefault(k, []).append(r[k])
@@ -34,7 +37,7 @@ def collect(pattern: str):
             if k in r:
                 for sub, v in r[k].items():
                     mets.setdefault(f"{k}.{sub}", []).append(v)
-    return len(dirs), mets
+    return n_read, mets
 
 
 def main():

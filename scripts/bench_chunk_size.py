@@ -65,12 +65,15 @@ def measure(k_steps: int, measure_steps: int = 2048) -> float:
     state = (jax.device_put(params, ctx.replicated),
              jax.device_put(optimizer.init(params), ctx.replicated))
     perm = jax.random.permutation(jax.random.key(1), N_ROWS).astype(jnp.int32)
-    max_i0 = N_ROWS // BATCH - k_steps
+    # Chunk starts advance by k_steps (matching DeviceEpochRunner) and
+    # wrap on a whole-chunk boundary so every dynamic_slice start stays
+    # inside the permutation.
+    n_chunk_starts = (N_ROWS // BATCH // k_steps) * k_steps
 
     i = 0
     while i < 4 * k_steps:  # warmup
         state, last = chunk(state, split.images, split.labels, perm,
-                            (i // k_steps) % max_i0,
+                            i % n_chunk_starts,
                             jax.random.fold_in(jax.random.key(2), i))
         i += k_steps
     float(last)
@@ -79,7 +82,7 @@ def measure(k_steps: int, measure_steps: int = 2048) -> float:
     n = 0
     while n < measure_steps:
         state, last = chunk(state, split.images, split.labels, perm,
-                            (n // k_steps) % max_i0,
+                            n % n_chunk_starts,
                             jax.random.fold_in(jax.random.key(3), n))
         n += k_steps
     float(last)

@@ -41,6 +41,9 @@ def main(batch_size, num_epochs, lr):
     try:
         optimizer = optax.adadelta(lr)
     except AttributeError:  # older optax without adadelta
+        print("warning: optax.adadelta unavailable; training the judge "
+              "with adam(1e-3) — the --lr value is NOT applied (adadelta "
+              "and adam learning rates are not comparable)")
         optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 

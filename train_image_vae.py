@@ -10,6 +10,7 @@ import json
 
 import click
 
+from arvae_tpu.core.config import expand_reg_dims
 from arvae_tpu.data.dsprites import DspritesDataset
 from arvae_tpu.data.mnist import MorphoMnistDataset
 from arvae_tpu.models import DspritesVAE, MnistVAE
@@ -81,22 +82,17 @@ def main(
     else:
         raise ValueError("Invalid dataset_type. Choose between mnist and dsprites")
 
-    # reg-name -> latent-dim expansion (reference train_image_vae.py:73-89)
+    # reg-name -> latent-dim expansion (reference train_image_vae.py:73-89),
+    # shared with the sweep/plot scripts via core.config.expand_reg_dims
     reg_type = tuple(reg_type or ())
     if len(reg_type) != 0:
-        if len(reg_type) == 1 and reg_type[0] == "all":
-            reg_dim = tuple(
-                v for k, v in attr_dict.items()
-                if k not in ("digit_identity", "color")
+        unknown = [r for r in reg_type if r != "all" and r not in attr_dict]
+        if unknown or ("all" in reg_type and len(reg_type) != 1):
+            raise click.BadParameter(
+                f"unknown reg_type {unknown or list(reg_type)}; choose "
+                f"from {sorted(attr_dict)} or 'all' (alone)"
             )
-        else:
-            unknown = [r for r in reg_type if r not in attr_dict]
-            if unknown:
-                raise click.BadParameter(
-                    f"unknown reg_type {unknown}; choose from "
-                    f"{sorted(attr_dict)} or 'all'"
-                )
-            reg_dim = tuple(attr_dict[r] for r in reg_type)
+        reg_dim = expand_reg_dims(reg_type, attr_dict)
     else:
         reg_dim = (0,)
 

@@ -10,6 +10,7 @@ import json
 
 import click
 
+from arvae_tpu.core.config import expand_reg_dims
 from arvae_tpu.data.attributes import MUSIC_REG_TYPE
 from arvae_tpu.data.bar_dataset import ChoraleNBarDataset, FolkNBarDataset
 from arvae_tpu.models.measure_vae import MeasureVAE
@@ -114,16 +115,14 @@ def main(
     attr_dict = MUSIC_REG_TYPE
     reg_type = tuple(reg_type or ())
     if len(reg_type) != 0:
-        if len(reg_type) == 1 and reg_type[0] == "all":
-            reg_dim = tuple(attr_dict.values())
-        else:
-            unknown = [r for r in reg_type if r not in attr_dict]
-            if unknown:
-                raise click.BadParameter(
-                    f"unknown reg_type {unknown}; choose from "
-                    f"{sorted(attr_dict)} or 'all'"
-                )
-            reg_dim = tuple(attr_dict[r] for r in reg_type)
+        unknown = [r for r in reg_type if r != "all" and r not in attr_dict]
+        if unknown or ("all" in reg_type and len(reg_type) != 1):
+            raise click.BadParameter(
+                f"unknown reg_type {unknown or list(reg_type)}; choose "
+                f"from {sorted(attr_dict)} or 'all' (alone)"
+            )
+        # no skip names apply to the music dict, so 'all' = every value
+        reg_dim = expand_reg_dims(reg_type, attr_dict)
     else:
         reg_dim = (0,)
 
