@@ -27,11 +27,11 @@ def datasets_root() -> str:
     their caches cannot drift into different directories)."""
     return os.environ.get(
         "ARVAE_DATASETS_DIR",
-        os.path.join(
+        os.path.normpath(os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             os.pardir,
             "datasets",
-        ),
+        )),
     )
 
 
