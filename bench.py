@@ -229,19 +229,57 @@ def main():
         }))
         return
 
+    import sys
+    import threading
+
+    done = threading.Event()
+    emit_lock = threading.Lock()
+
+    def _emit_once(payload) -> bool:
+        # Single-shot: exactly one of a watchdog and the main thread
+        # prints, even if a timer fires as the main thread finishes.
+        with emit_lock:
+            if done.is_set():
+                return False
+            done.set()
+            print(json.dumps(payload))
+            sys.stdout.flush()
+            return True
+
+    # The discovery probe ran in a kill-able subprocess, but the
+    # measurement itself can still block forever inside the transport's
+    # C layer (which releases the GIL) rather than raising — cover the
+    # headline with its own watchdog. Healthy headline time is a couple
+    # of minutes including the 40-140 s first-invocation latency of the
+    # tunneled backend.
+    def _headline_bail():
+        if _emit_once({
+            "metric": "dsprites_arvae_train_steps_per_sec_b128",
+            "value": 0.0,
+            "unit": "steps/sec",
+            "vs_baseline": None,
+            "error": "headline measurement timed out (transport hang)",
+        }):
+            os._exit(0)
+
+    headline_watchdog = threading.Timer(1500.0, _headline_bail)
+    headline_watchdog.daemon = True
+    headline_watchdog.start()
     try:
         ours, image_flops_step = measure_ours()
     except Exception as e:
         # The one-JSON-line contract holds even if the tunnel dies
         # mid-measurement (the longest TPU exposure in the script).
-        print(json.dumps({
+        _emit_once({
             "metric": "dsprites_arvae_train_steps_per_sec_b128",
             "value": 0.0,
             "unit": "steps/sec",
             "vs_baseline": None,
             "error": f"headline measurement failed: {e!r}"[:200],
-        }))
+        })
         return
+    finally:
+        headline_watchdog.cancel()
     base = baseline_steps_per_sec()
     vs = ours / base if base == base else float("nan")
     out = {
@@ -256,25 +294,7 @@ def main():
     # mid-bench tunnel death usually raises (caught below), but the
     # transport can also block forever in C — arm a watchdog thread
     # that prints whatever `out` holds and exits, so the single JSON
-    # line survives either failure mode (the hang sits in network IO,
-    # which releases the GIL).
-    import sys
-    import threading
-
-    done = threading.Event()
-    emit_lock = threading.Lock()
-
-    def _emit_once(payload) -> bool:
-        # Single-shot: exactly one of the watchdog and the main thread
-        # prints, even if the timer fires as the main thread finishes.
-        with emit_lock:
-            if done.is_set():
-                return False
-            done.set()
-            print(json.dumps(payload))
-            sys.stdout.flush()
-            return True
-
+    # line survives either failure mode.
     def _bail():
         out["secondary_timeout"] = True
         if _emit_once(out):

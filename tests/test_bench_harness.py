@@ -107,3 +107,32 @@ def test_music_hang_trips_watchdog(stubbed, monkeypatch, capsys):
     first = json.loads(lines[0])
     assert first["value"] == 2990.0
     assert first["secondary_timeout"] is True
+
+
+def test_headline_hang_trips_watchdog(stubbed, monkeypatch, capsys):
+    """A transport hang DURING the headline measurement (before any
+    result exists) must still yield the one JSON error line — the
+    headline used to be the only unwatched TPU exposure."""
+    hang = threading.Event()
+
+    def hung_ours():
+        hang.wait(30.0)
+        raise RuntimeError("unblocked")
+
+    def fake_exit(code):
+        hang.set()
+
+    monkeypatch.setattr(bench, "measure_ours", hung_ours)
+    monkeypatch.setattr(os, "_exit", fake_exit)
+    real_timer = threading.Timer
+    monkeypatch.setattr(
+        threading, "Timer", lambda t, fn: real_timer(0.5, fn)
+    )
+
+    bench.main()
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.strip()]
+    assert len(lines) == 1, lines  # single-shot emit suppresses the rest
+    out = json.loads(lines[0])
+    assert out["value"] == 0.0
+    assert "timed out" in out["error"]
