@@ -22,12 +22,39 @@ __version__ = "0.1.0"
 # minutes on this toolchain; cache them across processes.
 import os as _os
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU identity (arch + feature flags).
+
+    XLA:CPU caches AOT-compiled machine code whose cache key does NOT
+    include machine features, so a shared cache dir reused from another
+    machine loads foreign artifacts with ``cpu_aot_loader``
+    machine-feature-mismatch errors ("could lead to execution errors
+    such as SIGILL" — MULTICHIP_r03 tail). Scoping the dir per host
+    keeps same-machine reuse (the part that matters: ~0.4 s per utility
+    jit through this backend's compile RPC) while making cross-machine
+    artifacts invisible. TPU executables are machine-independent, but a
+    fresh dir on a new host merely re-fills the cache once.
+    """
+    import hashlib
+    import platform as _platform
+
+    ident = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    ident += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(ident.encode()).hexdigest()[:10]
+
+
 if not _os.environ.get("ARVAE_NO_COMPILE_CACHE"):
     import jax as _jax
 
-    _cache_dir = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.expanduser("~/.cache/arvae_jax_cache"),
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.join(
+        _os.path.expanduser("~/.cache/arvae_jax_cache"), _host_fingerprint()
     )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
@@ -40,4 +67,11 @@ if not _os.environ.get("ARVAE_NO_COMPILE_CACHE"):
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # older jax without these options
+        pass
+    try:
+        # Belt and braces for the same SIGILL hazard: keep only the
+        # jax-level executable cache; XLA's internal sub-caches (the
+        # cpu_aot_loader source) stay off.
+        _jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:
         pass

@@ -123,9 +123,15 @@ class DeviceSplit:
                 g = jnp.take(x, li, axis=0)
                 mask = ok.reshape((-1,) + (1,) * (g.ndim - 1))
                 dt = g.dtype
-                g = jnp.where(mask, g, 0).astype(
-                    jnp.int32 if jnp.issubdtype(dt, jnp.integer) else dt
-                )
+                # Sub-word ints ride the collective as int32; 64-bit
+                # ints keep their width (a cast to int32 would silently
+                # truncate values outside int32 range — ADVICE r3).
+                if jnp.issubdtype(dt, jnp.integer):
+                    wide = (jnp.int64 if jnp.dtype(dt).itemsize == 8
+                            else jnp.int32)
+                else:
+                    wide = dt
+                g = jnp.where(mask, g, 0).astype(wide)
                 g = jax.lax.psum_scatter(
                     g, "data", scatter_dimension=0, tiled=True
                 )

@@ -73,7 +73,21 @@ def compute_mig(latent_codes, attributes):
     gaps = []
     for profile, h in zip(profiles, entropies):
         second, best = np.partition(profile, profile.size - 2)[-2:]
-        gaps.append((best - second) / h)
+        if h <= 0.0:
+            # A (near-)constant attribute column has zero self-MI: no
+            # latent dim can carry information about it, so its gap is
+            # 0 rather than 0/0 = nan silently landing in
+            # results_dict.json (ADVICE r3).
+            import warnings
+
+            warnings.warn(
+                "compute_mig: attribute with zero kNN self-entropy; "
+                "its gap contributes 0",
+                RuntimeWarning,
+            )
+            gaps.append(0.0)
+        else:
+            gaps.append((best - second) / h)
     return {"mig": float(np.mean(gaps))}
 
 

@@ -95,6 +95,71 @@ def token_accuracy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return jnp.mean((pred == targets.reshape(-1)).astype(jnp.float32))
 
 
+def mean_l1_loss_rnn(weights: jax.Array, targets: jax.Array) -> jax.Array:
+    """Mean elementwise L1 over (B, T, H) sequences.
+
+    Parity port of the reference ``Trainer.mean_l1_loss_rnn``
+    (``utils/trainer.py:284-301``) — ``nn.L1Loss()`` with its default
+    mean reduction. The reference never calls it (zero call sites,
+    confirmed by grep); it is kept for literal loss-library completeness.
+    """
+    if weights.ndim != 3 or weights.shape != targets.shape:
+        raise ValueError(
+            f"expected matching (B, T, H) arrays, got {weights.shape} vs {targets.shape}"
+        )
+    w = weights.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    return jnp.mean(jnp.abs(w - t))
+
+
+def mean_mse_loss_rnn(weights: jax.Array, targets: jax.Array) -> jax.Array:
+    """Mean elementwise MSE over (B, T, H) sequences.
+
+    Parity port of the reference ``Trainer.mean_mse_loss_rnn``
+    (``utils/trainer.py:303-320``) — ``nn.MSELoss()`` default mean
+    reduction. Zero reference call sites; kept for completeness.
+    """
+    if weights.ndim != 3 or weights.shape != targets.shape:
+        raise ValueError(
+            f"expected matching (B, T, H) arrays, got {weights.shape} vs {targets.shape}"
+        )
+    w = weights.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    return jnp.mean(jnp.square(w - t))
+
+
+def token_cross_entropy_loss_alt(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """4-D variant: mean CE over (B, M, T, V) logits vs (B, M, T) targets.
+
+    Parity port of ``Trainer.mean_crossentropy_loss_alt``
+    (``utils/trainer.py:322-337``). Identical math to
+    :func:`token_cross_entropy_loss` after flattening — the reference
+    keeps a separate entry point for the measure-major layout, so we do
+    too. Zero reference call sites; kept for completeness.
+    """
+    if logits.ndim != 4 or targets.ndim != 3 or logits.shape[:3] != targets.shape:
+        raise ValueError(
+            f"expected (B, M, T, V) logits with (B, M, T) targets, "
+            f"got {logits.shape} vs {targets.shape}"
+        )
+    return token_cross_entropy_loss(logits, targets)
+
+
+def token_accuracy_alt(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """4-D variant: argmax accuracy over (B, M, T, V) logits.
+
+    Parity port of ``Trainer.mean_accuracy_alt``
+    (``utils/trainer.py:339-352``). Zero reference call sites; kept for
+    completeness.
+    """
+    if logits.ndim != 4 or targets.ndim != 3 or logits.shape[:3] != targets.shape:
+        raise ValueError(
+            f"expected (B, M, T, V) logits with (B, M, T) targets, "
+            f"got {logits.shape} vs {targets.shape}"
+        )
+    return token_accuracy(logits, targets)
+
+
 def pixel_accuracy(probs: jax.Array, targets: jax.Array) -> jax.Array:
     """Binary pixel accuracy at a 0.5 threshold on probabilities.
 

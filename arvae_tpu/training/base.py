@@ -218,6 +218,17 @@ class BaseTrainer(abc.ABC):
             self._dev_eval_split = make(self.mesh)
         return self._dev_eval_split
 
+    def _device_val_split(self):
+        """Device-resident VALIDATION split — the epoch runner's, when a
+        training run is active. The per-epoch ``eval_model`` hook
+        reflects validation data, so its harvest can ride the same
+        HBM-resident rows the runner already holds instead of pulling
+        host batches through the ~100-200 ms/batch transport."""
+        runner = getattr(self, "_device_runner", None)
+        if runner is not None and runner.val_split.n > 0:
+            return runner.val_split
+        return None
+
     def train_model(self, batch_size: int, num_epochs: int, log: bool = False):
         # Retraining invalidates any cached eval metrics: the trainers'
         # compute_eval_metrics short-circuits on results_dict.json, so a
@@ -245,6 +256,9 @@ class BaseTrainer(abc.ABC):
         self._train_step_fn = self.make_train_step()
         self._eval_step_fn = self.make_eval_step()
         runner = self._maybe_device_runner(batch_size)
+        # Exposed so per-epoch hooks (eval_model) can harvest from the
+        # device-resident validation split instead of the host loader.
+        self._device_runner = runner
 
         ckpt = Checkpointer(self.run_dir)
         for epoch_index in range(num_epochs):

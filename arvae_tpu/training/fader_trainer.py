@@ -53,8 +53,13 @@ class FaderTrainState(struct.PyTreeNode):
 
 
 class ImageFaderTrainer(ImageVAETrainer):
-    # two-param-set adversarial state; uses the host loader path
-    supports_device_data = False
+    # The two-optimizer adversarial update is still ONE (state, batch,
+    # key) -> (state, metrics) step, so it rides the device-resident
+    # epoch runner like the plain VAE trainers (VERDICT r3 item 3): the
+    # dataset lives in HBM and both optimizer updates happen inside the
+    # scanned chunk — the reference's 100-epoch protocol is otherwise
+    # transfer-bound on this tunneled transport.
+    supports_device_data = True
 
     def __init__(
         self,
@@ -168,107 +173,115 @@ class ImageFaderTrainer(ImageVAETrainer):
         acc = pixel_accuracy(jax.nn.sigmoid(logits), inputs)
         return fader_loss, (rec_loss, adv_loss, acc, z, norm_labels)
 
+    def _train_step_core(self, state: FaderTrainState, batch, key):
+        """Both optimizer updates in one functional step — consumed
+        directly by the device epoch runner's lax.scan and, jitted, by
+        the host-loader path."""
+        inputs, labels = batch
+        k_enc, k_step = jax.random.split(key)
+        norm_labels = self.normalize_labels(labels)
+
+        # (1) discriminator on detached z
+        z = self.model.apply(
+            {"params": state.params}, inputs, train=True,
+            rngs={"dropout": k_enc}, method="encode_deterministic",
+        )
+        z = jax.lax.stop_gradient(z)
+
+        def disc_loss_fn(dp):
+            pred = self.disc_model.apply(
+                {"params": dp}, z, train=True, rngs={"dropout": k_enc}
+            )
+            return self.compute_disc_loss(pred, norm_labels)
+
+        disc_loss, disc_grads = jax.value_and_grad(disc_loss_fn)(
+            state.disc_params
+        )
+        disc_updates, disc_opt_state = self.disc_optimizer.update(
+            disc_grads, state.disc_opt_state, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, disc_updates)
+
+        # (2) fader against the updated discriminator
+        def fader_loss_fn(p):
+            loss, aux = self._fader_losses(
+                p, disc_params, batch, k_step, train=True
+            )
+            return loss, aux
+
+        (fader_loss, (rec, adv, acc, _, _)), grads = jax.value_and_grad(
+            fader_loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                   state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = {
+            "loss": fader_loss,
+            "accuracy": acc,
+            "recons_loss": rec,
+            "adv_loss": adv,
+            "disc_loss": disc_loss,
+        }
+        new_state = FaderTrainState(
+            params=params,
+            disc_params=disc_params,
+            opt_state=opt_state,
+            disc_opt_state=disc_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    def _eval_step_core(self, state: FaderTrainState, batch, key):
+        loss, (rec, adv, acc, _, _) = self._fader_losses(
+            state.params, state.disc_params, batch, key, train=False
+        )
+        return {"loss": loss, "accuracy": acc, "recons_loss": rec,
+                "adv_loss": adv}
+
     def make_train_step(self):
-        optimizer = self.optimizer
-        disc_optimizer = self.disc_optimizer
-
-        def train_step(state: FaderTrainState, batch, key):
-            inputs, labels = batch
-            k_enc, k_step = jax.random.split(key)
-            norm_labels = self.normalize_labels(labels)
-
-            # (1) discriminator on detached z
-            z = self.model.apply(
-                {"params": state.params}, inputs, train=True,
-                rngs={"dropout": k_enc}, method="encode_deterministic",
-            )
-            z = jax.lax.stop_gradient(z)
-
-            def disc_loss_fn(dp):
-                pred = self.disc_model.apply(
-                    {"params": dp}, z, train=True, rngs={"dropout": k_enc}
-                )
-                return self.compute_disc_loss(pred, norm_labels)
-
-            disc_loss, disc_grads = jax.value_and_grad(disc_loss_fn)(
-                state.disc_params
-            )
-            disc_updates, disc_opt_state = disc_optimizer.update(
-                disc_grads, state.disc_opt_state, state.disc_params
-            )
-            disc_params = optax.apply_updates(state.disc_params, disc_updates)
-
-            # (2) fader against the updated discriminator
-            def fader_loss_fn(p):
-                loss, aux = self._fader_losses(
-                    p, disc_params, batch, k_step, train=True
-                )
-                return loss, aux
-
-            (fader_loss, (rec, adv, acc, _, _)), grads = jax.value_and_grad(
-                fader_loss_fn, has_aux=True
-            )(state.params)
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-            params = optax.apply_updates(state.params, updates)
-
-            metrics = {
-                "loss": fader_loss,
-                "accuracy": acc,
-                "recons_loss": rec,
-                "adv_loss": adv,
-                "disc_loss": disc_loss,
-            }
-            new_state = FaderTrainState(
-                params=params,
-                disc_params=disc_params,
-                opt_state=opt_state,
-                disc_opt_state=disc_opt_state,
-                step=state.step + 1,
-            )
-            return new_state, metrics
-
-        return jax.jit(train_step, donate_argnums=(0,))
+        return jax.jit(self._train_step_core, donate_argnums=(0,))
 
     def make_eval_step(self):
-        def eval_step(state_or_params, batch, key):
-            params, disc_params = state_or_params
-            loss, (rec, adv, acc, _, _) = self._fader_losses(
-                params, disc_params, batch, key, train=False
-            )
-            return {"loss": loss, "accuracy": acc, "recons_loss": rec,
-                    "adv_loss": adv}
-
-        return jax.jit(eval_step)
-
-    def loss_and_acc_on_epoch(self, loader, epoch_num, train):
-        # eval path needs (params, disc_params) instead of bare params
-        if train:
-            return super().loss_and_acc_on_epoch(loader, epoch_num, train)
-        from arvae_tpu.parallel import shard_batch_truncated
-
-        total_loss, total_acc, n = 0.0, 0.0, 0
-        for batch_num, batch in enumerate(loader):
-            batch = self.process_batch(batch)
-            batch = shard_batch_truncated(self.mesh, batch)
-            if batch is None:  # final partial batch smaller than the mesh
-                continue
-            key = jax.random.fold_in(
-                self._base_key, (epoch_num + 1) * 100003 + batch_num * 2
-            )
-            metrics = self._eval_step_fn(
-                (self.state.params, self.state.disc_params), batch, key
-            )
-            total_loss += float(metrics["loss"])
-            total_acc += float(metrics["accuracy"])
-            n += 1
-        n = max(n, 1)
-        return total_loss / n, total_acc / n
+        return jax.jit(self._eval_step_core)
 
     # -- representations (deterministic encoder; reference :182-196) ----------
 
-    def compute_representations(self, data_loader, num_batches: int = 200):
+    def compute_representations(self, data_loader, num_batches: int = 200,
+                                batch_size: int = 128, split=None):
         state = self.ensure_state()
+
+        sp = split if split is not None else self._device_eval_split()
+        if sp is not None and sp.n > 0:
+            bs = min(batch_size, sp.n)
+            steps = min(sp.num_batches(bs), num_batches + 1)
+
+            def harvest(params, images, labels):
+                def body(_, i):
+                    idx = jnp.arange(bs, dtype=jnp.int32) + i * bs
+                    imgs, labs = sp.gather_batch(images, labels, idx)
+                    z = self.model.apply(
+                        {"params": params}, imgs, train=False,
+                        method="encode_deterministic",
+                    )
+                    return None, (z, self.normalize_labels(labs))
+
+                _, (z, l) = jax.lax.scan(body, None, jnp.arange(steps))
+                return (z.reshape(-1, z.shape[-1]), l.reshape(-1, l.shape[-1]))
+
+            cache = getattr(self, "_fader_harvest_jits", None)
+            if cache is None:
+                cache = self._fader_harvest_jits = {}
+            key = (id(sp), bs, steps)
+            if key not in cache:
+                cache[key] = jax.jit(harvest)
+            z, labs = cache[key](state.params, sp.images, sp.labels)
+            latent_codes, attributes = np.asarray(z), np.asarray(labs)
+            attr_list = [
+                a for a in self.attr_dict.keys()
+                if a not in ("digit_identity", "color")
+            ]
+            return latent_codes, attributes, attr_list
 
         if not hasattr(self, "_enc_det_jit"):
 
@@ -356,8 +369,10 @@ class ImageFaderTrainer(ImageVAETrainer):
     def eval_model(self, data_loader, epoch_num: int = 0):
         if self.writer is None:
             return
+        # ride the epoch runner's device-resident validation split when
+        # a training run is active (falls back to the host loader)
         latent_codes, attributes, attr_list = self.compute_representations(
-            data_loader, num_batches=10
+            data_loader, num_batches=10, split=self._device_val_split()
         )
         for i, attr in enumerate(attr_list):
             interp = self.compute_latent_interpolations(

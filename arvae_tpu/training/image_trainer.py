@@ -244,11 +244,13 @@ class ImageVAETrainer(BaseTrainer):
         attr_idx = [self.attr_dict[a] for a in attr_list]
         return attributes[:, attr_idx], attr_list
 
-    def _device_harvest(self, batch_size: int, num_batches: int):
-        """Latent harvest as ONE jitted scan over the device-resident
-        eval split (the host path costs a device_put round trip per
-        batch on this transport)."""
-        sp = self._device_eval_split()
+    def _device_harvest(self, batch_size: int, num_batches: int, sp=None):
+        """Latent harvest as ONE jitted scan over a device-resident
+        split — the eval split by default, or a caller-provided one,
+        e.g. the epoch runner's validation split (the host path costs a
+        device_put round trip per batch on this transport)."""
+        if sp is None:
+            sp = self._device_eval_split()
         batch_size = min(batch_size, max(sp.n, 1))
         steps = min(sp.num_batches(batch_size), num_batches + 1)
         state = self.ensure_state()
@@ -266,7 +268,16 @@ class ImageVAETrainer(BaseTrainer):
             _, (z, l) = jax.lax.scan(body, None, jnp.arange(steps))
             return (z.reshape(-1, z.shape[-1]), l.reshape(-1, l.shape[-1]))
 
-        z, labels = jax.jit(harvest)(
+        # Cache the jitted harvest per (split, geometry): the per-epoch
+        # eval hook calls this every epoch, and a fresh jit wrapper per
+        # call would re-trace each time.
+        cache = getattr(self, "_harvest_jits", None)
+        if cache is None:
+            cache = self._harvest_jits = {}
+        key = (id(sp), batch_size, steps)
+        if key not in cache:
+            cache[key] = jax.jit(harvest)
+        z, labels = cache[key](
             state.params, sp.images, sp.labels,
             jax.random.fold_in(self._base_key, 7_000_000),
         )
@@ -274,12 +285,18 @@ class ImageVAETrainer(BaseTrainer):
 
     def compute_representations(self, data_loader, num_batches: int = 200,
                                 batch_size: int = 128,
-                                use_device: bool = True):
-        """Sampled-z latent harvest (reference image_vae_trainer.py:274-287)."""
-        sp = self._device_eval_split() if use_device else None
+                                use_device: bool = True,
+                                split=None):
+        """Sampled-z latent harvest (reference image_vae_trainer.py:274-287).
+
+        ``split`` overrides which device-resident split is harvested
+        (e.g. the epoch runner's validation split for the per-epoch
+        hook); default is the dataset's eval split."""
+        sp = (split if split is not None
+              else (self._device_eval_split() if use_device else None))
         if sp is not None and sp.n > 0:
             latent_codes, attributes = self._device_harvest(
-                batch_size, num_batches
+                batch_size, num_batches, sp=sp
             )
         else:
             state = self.ensure_state()
@@ -666,9 +683,13 @@ class ImageVAETrainer(BaseTrainer):
         from arvae_tpu.eval import compute_interpretability_metric
         from arvae_tpu.utils.plotting import make_grid
 
-        # per-epoch hook reflects the *validation* loader it is given
+        # Per-epoch hook reflects *validation* data. When a training run
+        # is active the epoch runner already holds the validation split
+        # in HBM — harvest from it (zero per-batch host transfers);
+        # otherwise fall back to the host loader we were given.
+        val_sp = self._device_val_split()
         latent_codes, attributes, attr_list = self.compute_representations(
-            data_loader, num_batches=20, use_device=False
+            data_loader, num_batches=20, use_device=False, split=val_sp
         )
         interp_metrics = compute_interpretability_metric(
             latent_codes, attributes, attr_list
@@ -680,12 +701,24 @@ class ImageVAETrainer(BaseTrainer):
                 epoch_num,
             )
 
-        # reconstruction comparison on the first val batch
+        # reconstruction comparison on the first val batch — the same 16
+        # rows every epoch, so gather them from the device split once and
+        # cache; host-loader fallback otherwise
         state = self.ensure_state()
         fwd = self._forward_fn()
-        first = next(iter(data_loader))
-        inputs, _ = self.process_batch(first)
-        out = fwd(state.params, jnp.asarray(inputs[:16]),
+        if not hasattr(self, "_val_grid_inputs"):
+            if val_sp is not None and val_sp.n >= 16:
+                imgs, _ = jax.jit(
+                    lambda im, lb: val_sp.gather_batch(
+                        im, lb, jnp.arange(16, dtype=jnp.int32))
+                )(val_sp.images, val_sp.labels)
+                self._val_grid_inputs = imgs
+            else:
+                first = next(iter(data_loader))
+                inputs, _ = self.process_batch(first)
+                self._val_grid_inputs = jnp.asarray(inputs[:16])
+        inputs = self._val_grid_inputs
+        out = fwd(state.params, inputs,
                   jax.random.fold_in(self._base_key, 8_000_000 + epoch_num))
         recons = np.asarray(jax.nn.sigmoid(out.logits))
         comparison = np.concatenate([inputs[:16], recons[:16]], axis=0)

@@ -320,28 +320,65 @@ class MeasureVAETrainer(BaseTrainer):
         return self.metrics
 
     def test_model(self, batch_size: int = 256) -> Dict[str, float]:
-        _, _, gen_test = self.dataset.data_loaders(batch_size)
-        if len(gen_test) == 0:
-            _, _, gen_test = self.dataset.data_loaders(
-                max(1, gen_test.base.n if hasattr(gen_test, "base")
-                    else gen_test.n)
-            )
+        """Token CE + accuracy over the test split (reference
+        measure_vae_trainer.py:188-214). Rides the device-resident
+        split as ONE jitted scan when available — the host loader costs
+        a ~100-200 ms device_put per batch on this transport — with the
+        host path as fallback."""
         state = self.ensure_state()
-        fwd = self._forward_fn()
-        total_loss, total_acc, n = 0.0, 0.0, 0
-        for sample_id, batch in enumerate(gen_test):
-            score, _ = self.process_batch(batch)
-            key = jax.random.fold_in(self._base_key, 9_000_000 + sample_id)
-            out = fwd(state.params, jnp.asarray(score), key)
-            total_loss += float(token_cross_entropy_loss(out.weights,
-                                                         jnp.asarray(score)))
-            total_acc += float(token_accuracy(out.weights, jnp.asarray(score)))
-            n += 1
-        n = max(n, 1)
+        sp = self._device_eval_split()
+        if sp is not None and sp.n > 0:
+            bs = min(batch_size, sp.n)
+            steps = max(sp.num_batches(bs), 1)
+
+            def sweep(params, rows, labels, key):
+                def body(_, i):
+                    idx = jnp.arange(bs, dtype=jnp.int32) + i * bs
+                    score, _ = sp.gather_batch(rows, labels, idx)
+                    out = self.model.apply(
+                        {"params": params}, score, train=False,
+                        rng_key=jax.random.fold_in(key, i),
+                    )
+                    loss = token_cross_entropy_loss(out.weights, score)
+                    acc = token_accuracy(out.weights, score)
+                    return None, (loss, acc)
+
+                _, (losses, accs) = jax.lax.scan(body, None,
+                                                 jnp.arange(steps))
+                return jnp.mean(losses), jnp.mean(accs)
+
+            loss, acc = jax.jit(sweep)(
+                state.params, sp.images, sp.labels,
+                jax.random.fold_in(self._base_key, 9_000_000),
+            )
+            mean_loss, mean_acc = float(loss), float(acc)
+        else:
+            _, _, gen_test = self.dataset.data_loaders(batch_size)
+            if len(gen_test) == 0:
+                _, _, gen_test = self.dataset.data_loaders(
+                    max(1, gen_test.base.n if hasattr(gen_test, "base")
+                        else gen_test.n)
+                )
+            fwd = self._forward_fn()
+            total_loss, total_acc, n = 0.0, 0.0, 0
+            for sample_id, batch in enumerate(gen_test):
+                score, _ = self.process_batch(batch)
+                key = jax.random.fold_in(self._base_key,
+                                         9_000_000 + sample_id)
+                out = fwd(state.params, jnp.asarray(score), key)
+                total_loss += float(
+                    token_cross_entropy_loss(out.weights, jnp.asarray(score))
+                )
+                total_acc += float(
+                    token_accuracy(out.weights, jnp.asarray(score))
+                )
+                n += 1
+            n = max(n, 1)
+            mean_loss, mean_acc = total_loss / n, total_acc / n
         print("Test Epoch:")
-        print("\tTest Loss: ", total_loss / n, "\n\tTest Accuracy: ",
-              total_acc / n * 100)
-        return {"test_loss": total_loss / n, "test_acc": total_acc / n}
+        print("\tTest Loss: ", mean_loss, "\n\tTest Accuracy: ",
+              mean_acc * 100)
+        return {"test_loss": mean_loss, "test_acc": mean_acc}
 
     # -- artifacts (reference measure_vae_trainer.py:245-352) --------------------
 

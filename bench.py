@@ -187,7 +187,7 @@ def measure_music() -> float:
     return music_bench_module().measure("hier", measure_steps=1536)
 
 
-def _discover_devices(timeout_s: int = 300):
+def _discover_devices(timeouts_s: "tuple[int, ...]" = (120, 300, 600)):
     """Fail fast if the tunneled TPU backend hangs at discovery.
 
     When the axon relay dies, jax platform init blocks forever inside
@@ -196,27 +196,43 @@ def _discover_devices(timeout_s: int = 300):
     never returns to the interpreter — measured). Probe discovery in a
     kill-able subprocess instead; it exits before this process touches
     the TPU, so the one-process-per-chip rule holds. Healthy discovery
-    takes ~10 s; compiles happen later and are not under the timeout.
+    takes ~10 s but this transport has measured 40-140 s first-touch
+    variance, so a single-shot probe is too brittle (it cost round 3
+    its bench number): retry with rising timeouts before giving up.
     """
     import subprocess
     import sys
 
-    proc = subprocess.run(
-        [sys.executable, "-c",
-         # A clean plugin failure falls through to the cpu platform,
-         # which would silently record host-CPU throughput under the
-         # TPU metric name — treat that as unavailable too.
-         "import jax; d = jax.devices(); "
-         "assert d[0].platform != 'cpu', f'cpu fallback: {d}'"],
-        timeout=timeout_s, capture_output=True, text=True,
-    )
-    if proc.returncode != 0:
-        raise RuntimeError(
-            f"device probe exited {proc.returncode}: {proc.stderr[-200:]}"
-        )
+    last_err = None
+    for attempt, timeout_s in enumerate(timeouts_s):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 # A clean plugin failure falls through to the cpu
+                 # platform, which would silently record host-CPU
+                 # throughput under the TPU metric name — treat that
+                 # as unavailable too.
+                 "import jax; d = jax.devices(); "
+                 "assert d[0].platform != 'cpu', f'cpu fallback: {d}'"],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            if proc.returncode == 0:
+                return
+            last_err = RuntimeError(
+                f"device probe exited {proc.returncode}: "
+                f"{proc.stderr[-200:]}"
+            )
+        except subprocess.TimeoutExpired:
+            last_err = RuntimeError(
+                f"device probe attempt {attempt + 1} timed out "
+                f"({timeout_s} s)"
+            )
+    raise last_err
 
 
 def main():
+    import sys as _sys
+
     try:
         _discover_devices()
     except Exception as e:
@@ -227,7 +243,9 @@ def main():
             "vs_baseline": None,
             "error": f"backend unavailable: {e!r}"[:200],
         }))
-        return
+        # Nonzero exit so automation keying on status sees the failure,
+        # not just the JSON error field.
+        _sys.exit(1)
 
     import sys
     import threading
@@ -260,7 +278,7 @@ def main():
             "vs_baseline": None,
             "error": "headline measurement timed out (transport hang)",
         }):
-            os._exit(0)
+            os._exit(1)
 
     headline_watchdog = threading.Timer(1500.0, _headline_bail)
     headline_watchdog.daemon = True
@@ -277,7 +295,7 @@ def main():
             "vs_baseline": None,
             "error": f"headline measurement failed: {e!r}"[:200],
         })
-        return
+        _sys.exit(1)
     finally:
         headline_watchdog.cancel()
     base = baseline_steps_per_sec()
@@ -298,7 +316,9 @@ def main():
     def _bail():
         out["secondary_timeout"] = True
         if _emit_once(out):
-            os._exit(0)
+            # The headline value is in the JSON line, but a timeout is
+            # still a failure for automation keying on exit status.
+            os._exit(1)
 
     watchdog = threading.Timer(900.0, _bail)
     watchdog.daemon = True

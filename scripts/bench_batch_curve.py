@@ -1,0 +1,55 @@
+"""Samples/sec vs batch size for the MeasureVAE training step
+(VERDICT r3 item 4).
+
+Round 3 measured a non-monotonicity: B=1024 fused ran 251 steps/s
+(257k samples/s) vs B=512's 289k samples/s. This sweeps
+B ∈ {256, 512, 1024, 2048} on both the fused Pallas path and the XLA
+scan fallback and prints one JSON line per cell, so the cause (per-beat
+streamed conditioning cost vs plain MXU shape effects) can be read off
+the curve: if the fallback shows the same dip, it's not the kernel's
+streaming.
+
+Run on the real TPU (one TPU process at a time):
+    python scripts/bench_batch_curve.py [--steps 1024]
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+
+_here = os.path.dirname(os.path.abspath(__file__))
+spec = importlib.util.spec_from_file_location(
+    "bench_measure_vae", os.path.join(_here, "bench_measure_vae.py"))
+bmv = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bmv)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1024)
+    ap.add_argument("--batches", default="256,512,1024,2048")
+    args = ap.parse_args()
+
+    for fused in (True, False):
+        os.environ.pop("ARVAE_NO_GRU_PALLAS", None)
+        if not fused:
+            os.environ["ARVAE_NO_GRU_PALLAS"] = "1"
+        for b in [int(x) for x in args.batches.split(",")]:
+            try:
+                sps = bmv.measure("hier", batch=b, measure_steps=args.steps)
+                print(json.dumps({
+                    "batch": b,
+                    "fused": fused,
+                    "steps_per_sec": round(sps, 2),
+                    "samples_per_sec": round(sps * b, 0),
+                }), flush=True)
+            except Exception as e:
+                print(json.dumps({
+                    "batch": b, "fused": fused,
+                    "error": repr(e)[:200],
+                }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

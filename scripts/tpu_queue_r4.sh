@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-4 TPU work queue — run serially the moment the tunnel returns
+# (ONE TPU process at a time; this script is the only TPU user while it
+# runs). Logs under logs/r4/. Ordered so the round artifact (bench)
+# lands first and long protocol runs come later.
+set -u
+mkdir -p logs/r4
+cd "$(dirname "$0")/.."
+
+echo "== 1. bench (round artifact; validates the r3/r4 bench fixes) =="
+timeout 2400 python bench.py 2> logs/r4/bench.stderr | tee logs/r4/bench.json
+
+echo "== 2. batch-size curve (VERDICT item 4) =="
+timeout 3600 python scripts/bench_batch_curve.py 2> logs/r4/curve.stderr \
+  | tee logs/r4/batch_curve.jsonl
+
+echo "== 3. GLSR gamma sweep (VERDICT item 6) =="
+timeout 14400 python scripts/glsr_gamma_sweep.py 2>&1 \
+  | tee logs/r4/glsr_sweep.log
+
+echo "== 4. judge accuracy vs budget (VERDICT item 8) =="
+timeout 10800 python scripts/judge_budget_sweep.py 2>&1 \
+  | tee logs/r4/judge_budget.log
+
+echo "== 5. fader 100-epoch x 10-seed protocol (VERDICT item 3) =="
+for d in mnist dsprites; do
+  for s in 0 1 2 3 4 5 6 7 8 9; do
+    echo "-- fader $d seed $s --"
+    timeout 7200 python train_image_fader.py -d "$d" --num_epochs 100 \
+      --rand "$s" 2>&1 | tail -5 | tee -a logs/r4/fader_${d}.log
+  done
+done
+
+echo "== queue complete =="

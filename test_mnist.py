@@ -28,7 +28,10 @@ from arvae_tpu.training.resnet_judge import MnistResNet, judge_run_dir
 @click.option("--batch_size", default=256)
 @click.option("--num_epochs", default=5)
 @click.option("--lr", default=0.5, help="adadelta learning rate")
-def main(batch_size, num_epochs, lr):
+@click.option("--augment/--no_augment", default=False,
+              help="random ±2px translations during training (judge "
+                   "accuracy-vs-budget isolation, VERDICT r3 item 8)")
+def main(batch_size, num_epochs, lr, augment):
     start_time = time.time()
     dataset = MnistDataset()
     ctx = create_mesh()
@@ -51,8 +54,21 @@ def main(batch_size, num_epochs, lr):
     batch_stats = jax.device_put(batch_stats, ctx.replicated)
     opt_state = jax.device_put(opt_state, ctx.replicated)
 
+    def random_shift(images, key):
+        """Per-image random ±2px translation (pad + vmapped crop)."""
+        pad = jnp.pad(images, ((0, 0), (0, 0), (2, 2), (2, 2)))
+        off = jax.random.randint(key, (images.shape[0], 2), 0, 5)
+
+        def crop(img, o):
+            return jax.lax.dynamic_slice(img, (0, o[0], o[1]), (1, 28, 28))
+
+        return jax.vmap(crop)(pad, off)
+
     @jax.jit
-    def train_step(params, batch_stats, opt_state, images, labels):
+    def train_step(params, batch_stats, opt_state, images, labels, key):
+        if augment:
+            images = random_shift(images, key)
+
         def loss_fn(p):
             probs, updates = model.apply(
                 {"params": p, "batch_stats": batch_stats},
@@ -79,9 +95,10 @@ def main(batch_size, num_epochs, lr):
 
     gen_train, gen_val, _ = dataset.data_loaders(batch_size)
     ckpt = Checkpointer(judge_run_dir())
+    base_key = jax.random.key(0)
     for epoch in range(num_epochs):
         loss = None
-        for images, labels in gen_train:
+        for batch_num, (images, labels) in enumerate(gen_train):
             sharded = shard_batch_truncated(
                 ctx, (np.asarray(images, np.float32),
                       np.asarray(labels, np.int32))
@@ -90,7 +107,8 @@ def main(batch_size, num_epochs, lr):
                 continue
             images, labels = sharded
             params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, images, labels
+                params, batch_stats, opt_state, images, labels,
+                jax.random.fold_in(base_key, epoch * 100003 + batch_num),
             )
         if loss is None:
             raise click.ClickException(

@@ -70,7 +70,15 @@ def test_dead_backend_yields_error_line(stubbed, capsys):
         raise TimeoutError("device discovery exceeded 300s")
 
     stubbed.setattr(bench, "_discover_devices", probe_fail)
-    out = _run_main(capsys)
+    # Failure paths now exit nonzero so automation keying on exit
+    # status sees the failure (ADVICE r3), while still printing the
+    # one JSON error line.
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 1
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines
+    out = json.loads(lines[0])
     assert out["value"] == 0.0
     assert "backend unavailable" in out["error"]
 
@@ -129,10 +137,49 @@ def test_headline_hang_trips_watchdog(stubbed, monkeypatch, capsys):
         threading, "Timer", lambda t, fn: real_timer(0.5, fn)
     )
 
-    bench.main()
+    # With the intercepted os._exit, main unwinds through the headline
+    # except-path, which exits 1 (the suppressed duplicate emit keeps
+    # stdout to one line).
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 1
     lines = [ln for ln in capsys.readouterr().out.splitlines()
              if ln.strip()]
     assert len(lines) == 1, lines  # single-shot emit suppresses the rest
     out = json.loads(lines[0])
     assert out["value"] == 0.0
     assert "timed out" in out["error"]
+
+
+def test_discover_devices_retries_then_succeeds(monkeypatch):
+    """A first-attempt timeout (the round-3 failure mode) must not fail
+    the bench: the probe retries with a longer timeout."""
+    import subprocess
+
+    calls = []
+
+    def fake_run(cmd, timeout, **kw):
+        calls.append(timeout)
+        if len(calls) == 1:
+            raise subprocess.TimeoutExpired(cmd, timeout)
+
+        class P:
+            returncode = 0
+            stderr = ""
+
+        return P()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench._discover_devices((5, 10, 20))  # no raise
+    assert calls == [5, 10]
+
+
+def test_discover_devices_exhausts_and_raises(monkeypatch):
+    import subprocess
+
+    def fake_run(cmd, timeout, **kw):
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    with pytest.raises(RuntimeError, match="attempt 3 timed out"):
+        bench._discover_devices((1, 2, 3))

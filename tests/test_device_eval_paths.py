@@ -1,0 +1,155 @@
+"""The eval surfaces must ride the device-resident splits when they
+exist: on this TPU's tunneled transport a host-loader batch costs
+~100-200 ms in device_put alone, so any per-batch host path in eval is
+a regression (VERDICT r3 item 2). These tests poison the host loaders
+and assert eval still completes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from arvae_tpu.data.dsprites import DspritesDataset
+from arvae_tpu.models import DspritesVAE
+from arvae_tpu.training.image_trainer import (
+    DSPRITES_REG_TYPE,
+    ImageVAETrainer,
+    get_reg_dim,
+)
+
+SMALL_FACTORS = (1, 3, 2, 4, 4, 4)
+
+
+class _PoisonLoader:
+    """A data loader whose iteration is a test failure."""
+
+    def __iter__(self):
+        raise AssertionError("host loader iterated on the device path")
+
+    def __len__(self):
+        return 1
+
+
+class _StubWriter:
+    def __init__(self):
+        self.scalars = {}
+        self.images = {}
+
+    def add_scalar(self, tag, value, step):
+        self.scalars[tag] = value
+
+    def add_image(self, tag, img, step):
+        self.images[tag] = np.asarray(img).shape
+
+
+@pytest.fixture(scope="module")
+def dsprites(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dsp_deveval")
+    return DspritesDataset(root=str(root), factor_sizes=SMALL_FACTORS)
+
+
+@pytest.fixture()
+def models_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("ARVAE_MODELS_DIR", str(tmp_path / "models"))
+    return tmp_path / "models"
+
+
+def make_trainer(dsprites, **kw):
+    defaults = dict(
+        reg_type=("all",),
+        reg_dim=get_reg_dim(DSPRITES_REG_TYPE),
+        beta=1.0,
+        gamma=10.0,
+        delta=1.0,
+        rand=0,
+        use_pallas=False,
+    )
+    defaults.update(kw)
+    return ImageVAETrainer(dsprites, DspritesVAE(), **defaults)
+
+
+class TestImageEvalModelDevicePath:
+    def test_no_runner_means_no_device_val_split(self, dsprites, models_dir):
+        tr = make_trainer(dsprites)
+        assert tr._device_val_split() is None
+
+    def test_eval_model_rides_device_val_split(self, dsprites, models_dir):
+        tr = make_trainer(dsprites)
+        tr.train_model(batch_size=32, num_epochs=1, log=False)
+        assert tr._device_runner is not None
+        assert tr._device_val_split() is tr._device_runner.val_split
+
+        tr.writer = _StubWriter()
+        result = tr.eval_model(_PoisonLoader(), epoch_num=0)
+        assert "interpretability" in result
+        assert any(
+            t.startswith("interpretability_metric/") for t in tr.writer.scalars
+        )
+        assert "reconstruction" in tr.writer.images
+        # the 16-row recon grid is cached device-side
+        assert hasattr(tr, "_val_grid_inputs")
+
+    def test_eval_model_host_fallback_still_works(self, dsprites, models_dir,
+                                                  monkeypatch):
+        monkeypatch.setenv("ARVAE_HOST_LOADER", "1")
+        tr = make_trainer(dsprites)
+        tr.ensure_state()
+        tr.writer = _StubWriter()
+        _, gen_val, _ = dsprites.data_loaders(32, split=(0.7, 0.2))
+        result = tr.eval_model(gen_val, epoch_num=0)
+        assert "interpretability" in result
+
+
+class TestFaderDeviceDataPath:
+    def test_fader_trains_on_device_runner(self, dsprites, models_dir):
+        from arvae_tpu.models.image_fader import DspritesFaderNetwork
+        from arvae_tpu.training.fader_trainer import ImageFaderTrainer
+
+        tr = ImageFaderTrainer(dsprites, DspritesFaderNetwork(), beta=1.0,
+                               rand=0)
+        tr.train_model(batch_size=32, num_epochs=1, log=False)
+        # the adversarial two-optimizer step rode the device epoch
+        # runner (VERDICT r3 item 3), not the host loader
+        assert tr._device_runner is not None
+        import jax
+
+        assert all(
+            np.all(np.isfinite(np.asarray(x)))
+            for x in jax.tree_util.tree_leaves(tr.state.params)
+        )
+        # eval harvest also rides the device split
+        z, attrs, attr_list = tr.compute_representations(_PoisonLoader())
+        assert z.shape[0] == attrs.shape[0] > 0
+        assert len(attr_list) == attrs.shape[1]
+
+
+class TestMeasureTestModelDevicePath:
+    def test_test_model_skips_host_loaders(self, tmp_path_factory, monkeypatch):
+        os.environ.setdefault(
+            "ARVAE_DATASETS_DIR", str(tmp_path_factory.mktemp("music_deveval"))
+        )
+        from arvae_tpu.data.bar_dataset import FolkNBarDataset
+        from arvae_tpu.models.measure_vae import MeasureVAE
+        from arvae_tpu.training.measure_trainer import MeasureVAETrainer
+
+        monkeypatch.setenv(
+            "ARVAE_MODELS_DIR", str(tmp_path_factory.mktemp("models_deveval"))
+        )
+        folk = FolkNBarDataset(dataset_type="train", is_short=True, num_bars=1)
+        model = MeasureVAE(
+            num_notes=len(folk.note2index_dicts),
+            encoder_hidden_size=32, decoder_hidden_size=32,
+            latent_space_dim=16,
+        )
+        tr = MeasureVAETrainer(folk, model, reg_type=("all",),
+                               reg_dim=(0, 1, 2, 3), rand=0, use_pallas=False)
+        assert tr._device_eval_split() is not None
+
+        def boom(*a, **k):
+            raise AssertionError("host loader built on the device path")
+
+        monkeypatch.setattr(folk, "data_loaders", boom)
+        m = tr.test_model(batch_size=8)
+        assert 0.0 <= m["test_acc"] <= 1.0
+        assert np.isfinite(m["test_loss"])

@@ -142,3 +142,79 @@ class TestGradients:
                 attribute_reg_loss(zp, a, 2.0) - attribute_reg_loss(zm, a, 2.0)
             ) / (2 * eps)
             np.testing.assert_allclose(g[i], fd, rtol=1e-2, atol=1e-4)
+
+
+class TestLossLibraryCompleteness:
+    """Parity ports of the reference's zero-call-site loss variants
+    (utils/trainer.py:284-352), golden-tested against torch-CPU."""
+
+    def _torch(self):
+        import torch
+
+        return torch
+
+    def test_mean_l1_loss_rnn_matches_torch(self):
+        from arvae_tpu.ops import mean_l1_loss_rnn
+
+        torch = self._torch()
+        rng = np.random.RandomState(0)
+        w = rng.randn(4, 7, 5).astype(np.float32)
+        t = rng.randn(4, 7, 5).astype(np.float32)
+        want = torch.nn.L1Loss()(torch.tensor(w), torch.tensor(t)).item()
+        np.testing.assert_allclose(
+            mean_l1_loss_rnn(jnp.asarray(w), jnp.asarray(t)), want, rtol=1e-6
+        )
+
+    def test_mean_mse_loss_rnn_matches_torch(self):
+        from arvae_tpu.ops import mean_mse_loss_rnn
+
+        torch = self._torch()
+        rng = np.random.RandomState(1)
+        w = rng.randn(3, 6, 8).astype(np.float32)
+        t = rng.randn(3, 6, 8).astype(np.float32)
+        want = torch.nn.MSELoss()(torch.tensor(w), torch.tensor(t)).item()
+        np.testing.assert_allclose(
+            mean_mse_loss_rnn(jnp.asarray(w), jnp.asarray(t)), want, rtol=1e-6
+        )
+
+    def test_alt_ce_and_accuracy_match_torch(self):
+        from arvae_tpu.ops import token_accuracy_alt, token_cross_entropy_loss_alt
+
+        torch = self._torch()
+        rng = np.random.RandomState(2)
+        logits = rng.randn(2, 3, 4, 9).astype(np.float32)
+        targets = rng.randint(0, 9, (2, 3, 4))
+        tw = torch.tensor(logits).view(-1, 9)
+        tt = torch.tensor(targets).view(-1)
+        want_ce = torch.nn.CrossEntropyLoss(reduction="mean")(tw, tt).item()
+        want_acc = (tw.max(1).indices == tt).float().mean().item()
+        np.testing.assert_allclose(
+            token_cross_entropy_loss_alt(jnp.asarray(logits), jnp.asarray(targets)),
+            want_ce,
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            token_accuracy_alt(jnp.asarray(logits), jnp.asarray(targets)),
+            want_acc,
+            rtol=1e-6,
+        )
+
+    def test_rank_guards(self):
+        from arvae_tpu.ops import (
+            mean_l1_loss_rnn,
+            mean_mse_loss_rnn,
+            token_accuracy_alt,
+            token_cross_entropy_loss_alt,
+        )
+
+        w3 = jnp.zeros((2, 3, 4))
+        with pytest.raises(ValueError):
+            mean_l1_loss_rnn(w3, jnp.zeros((2, 3, 5)))
+        with pytest.raises(ValueError):
+            mean_mse_loss_rnn(jnp.zeros((2, 3)), jnp.zeros((2, 3)))
+        with pytest.raises(ValueError):
+            token_cross_entropy_loss_alt(w3, jnp.zeros((2, 3), jnp.int32))
+        with pytest.raises(ValueError):
+            token_accuracy_alt(
+                jnp.zeros((2, 3, 4, 5)), jnp.zeros((2, 4), jnp.int32)
+            )
