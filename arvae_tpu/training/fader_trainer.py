@@ -248,35 +248,28 @@ class ImageFaderTrainer(ImageVAETrainer):
     # -- representations (deterministic encoder; reference :182-196) ----------
 
     def compute_representations(self, data_loader, num_batches: int = 200,
-                                batch_size: int = 128, split=None):
+                                batch_size: int = 128,
+                                use_device: bool = True,
+                                split=None):
+        """Deterministic-encoder harvest (reference :182-196); same
+        signature as the parent so polymorphic callers keep working."""
         state = self.ensure_state()
 
-        sp = split if split is not None else self._device_eval_split()
+        sp = (split if split is not None
+              else (self._device_eval_split() if use_device else None))
         if sp is not None and sp.n > 0:
-            bs = min(batch_size, sp.n)
-            steps = min(sp.num_batches(bs), num_batches + 1)
 
-            def harvest(params, images, labels):
-                def body(_, i):
-                    idx = jnp.arange(bs, dtype=jnp.int32) + i * bs
-                    imgs, labs = sp.gather_batch(images, labels, idx)
-                    z = self.model.apply(
-                        {"params": params}, imgs, train=False,
-                        method="encode_deterministic",
-                    )
-                    return None, (z, self.normalize_labels(labs))
+            def encode_batch(params, imgs, labs, key, i):
+                z = self.model.apply(
+                    {"params": params}, imgs, train=False,
+                    method="encode_deterministic",
+                )
+                return z, self.normalize_labels(labs)
 
-                _, (z, l) = jax.lax.scan(body, None, jnp.arange(steps))
-                return (z.reshape(-1, z.shape[-1]), l.reshape(-1, l.shape[-1]))
-
-            cache = getattr(self, "_fader_harvest_jits", None)
-            if cache is None:
-                cache = self._fader_harvest_jits = {}
-            key = (id(sp), bs, steps)
-            if key not in cache:
-                cache[key] = jax.jit(harvest)
-            z, labs = cache[key](state.params, sp.images, sp.labels)
-            latent_codes, attributes = np.asarray(z), np.asarray(labs)
+            latent_codes, attributes = self._device_harvest(
+                batch_size, num_batches, sp=sp,
+                encode_batch=encode_batch, tag="fader_harvest",
+            )
             attr_list = [
                 a for a in self.attr_dict.keys()
                 if a not in ("digit_identity", "color")

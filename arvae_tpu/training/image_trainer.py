@@ -244,40 +244,63 @@ class ImageVAETrainer(BaseTrainer):
         attr_idx = [self.attr_dict[a] for a in attr_list]
         return attributes[:, attr_idx], attr_list
 
-    def _device_harvest(self, batch_size: int, num_batches: int, sp=None):
+    @staticmethod
+    def _split_scoped_jit(sp, cache_key, make):
+        """Jit cache stored ON the split: the per-epoch eval hook calls
+        the harvest every epoch, so a fresh jit wrapper per call would
+        re-trace each time — but a trainer-held cache keyed by id(sp)
+        would pin every past split's HBM buffers through the jitted
+        closures (a retrain builds a fresh runner + splits). Tying the
+        cache to the split's own lifetime keeps both properties."""
+        import jax as _jax
+
+        cache = sp.__dict__.setdefault("_trainer_jits", {})
+        if cache_key not in cache:
+            cache[cache_key] = _jax.jit(make())
+        return cache[cache_key]
+
+    def _device_harvest(self, batch_size: int, num_batches: int, sp=None,
+                        encode_batch=None, tag: str = "harvest"):
         """Latent harvest as ONE jitted scan over a device-resident
         split — the eval split by default, or a caller-provided one,
         e.g. the epoch runner's validation split (the host path costs a
-        device_put round trip per batch on this transport)."""
+        device_put round trip per batch on this transport).
+
+        ``encode_batch(params, imgs, labs, key, i) -> (z, labels)``
+        overrides the per-batch encoding (the fader uses its
+        deterministic encoder + normalized labels); ``tag`` keys the
+        jit cache per encoding variant."""
         if sp is None:
             sp = self._device_eval_split()
         batch_size = min(batch_size, max(sp.n, 1))
         steps = min(sp.num_batches(batch_size), num_batches + 1)
         state = self.ensure_state()
 
-        def harvest(params, images, labels, key):
-            def body(_, i):
-                idx = jnp.arange(batch_size, dtype=jnp.int32) + i * batch_size
-                imgs, labs = sp.gather_batch(images, labels, idx)
+        if encode_batch is None:
+            def encode_batch(params, imgs, labs, key, i):
                 out = self.model.apply(
                     {"params": params}, imgs, train=False,
                     rngs={"sample": jax.random.fold_in(key, i)},
                 )
-                return None, (out.z_tilde, labs)
+                return out.z_tilde, labs
 
-            _, (z, l) = jax.lax.scan(body, None, jnp.arange(steps))
-            return (z.reshape(-1, z.shape[-1]), l.reshape(-1, l.shape[-1]))
+        def make_harvest():
+            def harvest(params, images, labels, key):
+                def body(_, i):
+                    idx = (jnp.arange(batch_size, dtype=jnp.int32)
+                           + i * batch_size)
+                    imgs, labs = sp.gather_batch(images, labels, idx)
+                    return None, encode_batch(params, imgs, labs, key, i)
 
-        # Cache the jitted harvest per (split, geometry): the per-epoch
-        # eval hook calls this every epoch, and a fresh jit wrapper per
-        # call would re-trace each time.
-        cache = getattr(self, "_harvest_jits", None)
-        if cache is None:
-            cache = self._harvest_jits = {}
-        key = (id(sp), batch_size, steps)
-        if key not in cache:
-            cache[key] = jax.jit(harvest)
-        z, labels = cache[key](
+                _, (z, l) = jax.lax.scan(body, None, jnp.arange(steps))
+                return (z.reshape(-1, z.shape[-1]),
+                        l.reshape(-1, l.shape[-1]))
+
+            return harvest
+
+        fn = self._split_scoped_jit(sp, (tag, batch_size, steps),
+                                    make_harvest)
+        z, labels = fn(
             state.params, sp.images, sp.labels,
             jax.random.fold_in(self._base_key, 7_000_000),
         )
@@ -371,29 +394,48 @@ class ImageVAETrainer(BaseTrainer):
             # one) and corrupt the reported test loss/acc
             batch_size = min(batch_size, sp.n)
             steps = max(sp.num_batches(batch_size), 1)
+            rem = sp.n - steps * batch_size
+
+            def batch_metrics(params, imgs, key):
+                out = self.model.apply(
+                    {"params": params}, imgs, train=False,
+                    rngs={"sample": key},
+                )
+                return (rec_loss(out.logits, imgs, self.hparams.dec_dist),
+                        pix_acc(jax.nn.sigmoid(out.logits), imgs))
 
             def sweep(params, images, labels, key):
                 def body(_, i):
                     idx = (jnp.arange(batch_size, dtype=jnp.int32)
                            + i * batch_size)
                     imgs, _ = sp.gather_batch(images, labels, idx)
-                    out = self.model.apply(
-                        {"params": params}, imgs, train=False,
-                        rngs={"sample": jax.random.fold_in(key, i)},
-                    )
-                    loss = rec_loss(out.logits, imgs, self.hparams.dec_dist)
-                    acc = pix_acc(jax.nn.sigmoid(out.logits), imgs)
-                    return None, (loss, acc)
+                    return None, batch_metrics(
+                        params, imgs, jax.random.fold_in(key, i))
 
                 _, (losses, accs) = jax.lax.scan(body, None,
                                                  jnp.arange(steps))
-                return jnp.mean(losses), jnp.mean(accs)
+                return losses, accs
 
-            loss, acc = jax.jit(sweep)(
-                state.params, sp.images, sp.labels,
-                jax.random.fold_in(self._base_key, 9_000_000),
-            )
-            mean_loss, mean_acc = float(loss), float(acc)
+            base_key = jax.random.fold_in(self._base_key, 9_000_000)
+            losses, accs = jax.jit(sweep)(
+                state.params, sp.images, sp.labels, base_key)
+            losses, accs = list(np.asarray(losses)), list(np.asarray(accs))
+            if rem > 0:
+                # cover the final partial batch like the host loader
+                # (drop_last=False), with equal per-batch weight
+                def tail(params, images, labels, key):
+                    idx = (jnp.arange(rem, dtype=jnp.int32)
+                           + steps * batch_size)
+                    imgs, _ = sp.gather_batch(images, labels, idx)
+                    return batch_metrics(params, imgs, key)
+
+                tl, ta = jax.jit(tail)(
+                    state.params, sp.images, sp.labels,
+                    jax.random.fold_in(base_key, steps))
+                losses.append(float(tl))
+                accs.append(float(ta))
+            mean_loss = float(np.mean(losses))
+            mean_acc = float(np.mean(accs))
         else:
             _, _, gen_test = self.dataset.data_loaders(batch_size)
             fwd = self._forward_fn()

@@ -330,28 +330,46 @@ class MeasureVAETrainer(BaseTrainer):
         if sp is not None and sp.n > 0:
             bs = min(batch_size, sp.n)
             steps = max(sp.num_batches(bs), 1)
+            rem = sp.n - steps * bs  # tail rows the full-batch scan misses
+
+            def batch_metrics(params, score, key):
+                out = self.model.apply(
+                    {"params": params}, score, train=False, rng_key=key,
+                )
+                return (token_cross_entropy_loss(out.weights, score),
+                        token_accuracy(out.weights, score))
 
             def sweep(params, rows, labels, key):
                 def body(_, i):
                     idx = jnp.arange(bs, dtype=jnp.int32) + i * bs
                     score, _ = sp.gather_batch(rows, labels, idx)
-                    out = self.model.apply(
-                        {"params": params}, score, train=False,
-                        rng_key=jax.random.fold_in(key, i),
-                    )
-                    loss = token_cross_entropy_loss(out.weights, score)
-                    acc = token_accuracy(out.weights, score)
-                    return None, (loss, acc)
+                    return None, batch_metrics(
+                        params, score, jax.random.fold_in(key, i))
 
                 _, (losses, accs) = jax.lax.scan(body, None,
                                                  jnp.arange(steps))
-                return jnp.mean(losses), jnp.mean(accs)
+                return losses, accs
 
-            loss, acc = jax.jit(sweep)(
-                state.params, sp.images, sp.labels,
-                jax.random.fold_in(self._base_key, 9_000_000),
-            )
-            mean_loss, mean_acc = float(loss), float(acc)
+            base_key = jax.random.fold_in(self._base_key, 9_000_000)
+            losses, accs = jax.jit(sweep)(
+                state.params, sp.images, sp.labels, base_key)
+            losses, accs = list(np.asarray(losses)), list(np.asarray(accs))
+            if rem > 0:
+                # the host loader covers the final partial batch
+                # (drop_last=False) with equal per-batch weight — do the
+                # same rather than silently excluding up to bs-1 rows
+                def tail(params, rows, labels, key):
+                    idx = jnp.arange(rem, dtype=jnp.int32) + steps * bs
+                    score, _ = sp.gather_batch(rows, labels, idx)
+                    return batch_metrics(params, score, key)
+
+                tl, ta = jax.jit(tail)(
+                    state.params, sp.images, sp.labels,
+                    jax.random.fold_in(base_key, steps))
+                losses.append(float(tl))
+                accs.append(float(ta))
+            mean_loss = float(np.mean(losses))
+            mean_acc = float(np.mean(accs))
         else:
             _, _, gen_test = self.dataset.data_loaders(batch_size)
             if len(gen_test) == 0:

@@ -4,11 +4,13 @@
 # runs). Logs under logs/r4/. Ordered so the round artifact (bench)
 # lands first and long protocol runs come later.
 set -u
-mkdir -p logs/r4
 cd "$(dirname "$0")/.."
+mkdir -p logs/r4
 
 echo "== 1. bench (round artifact; validates the r3/r4 bench fixes) =="
-timeout 2400 python bench.py 2> logs/r4/bench.stderr | tee logs/r4/bench.json
+# Budget must exceed bench's own worst case: probe retries (up to
+# 1020 s) + 1500 s headline watchdog + 900 s secondary watchdog.
+timeout 4200 python bench.py 2> logs/r4/bench.stderr | tee logs/r4/bench.json
 
 echo "== 2. batch-size curve (VERDICT item 4) =="
 timeout 3600 python scripts/bench_batch_curve.py 2> logs/r4/curve.stderr \
