@@ -16,6 +16,10 @@ echo "== 2. batch-size curve (VERDICT item 4) =="
 timeout 3600 python scripts/bench_batch_curve.py 2> logs/r4/curve.stderr \
   | tee logs/r4/batch_curve.jsonl
 
+echo "== 2b. launch-merge ceiling (VERDICT item 9) =="
+timeout 1800 python scripts/bench_launch_merge.py 2> logs/r4/merge.stderr \
+  | tee logs/r4/launch_merge.json
+
 echo "== 3. GLSR gamma sweep (VERDICT item 6) =="
 timeout 14400 python scripts/glsr_gamma_sweep.py 2>&1 \
   | tee logs/r4/glsr_sweep.log
@@ -32,5 +36,10 @@ for d in mnist dsprites; do
       --rand "$s" 2>&1 | tail -5 | tee -a logs/r4/fader_${d}.log
   done
 done
+
+echo "== 6. aggregate the fader protocol (mean ± std for RESULTS.md) =="
+python scripts/aggregate_results.py \
+  "models/MnistFader_r_*_b_4.0_" "models/DspritesFader_r_*_b_4.0_" \
+  2>&1 | tee logs/r4/fader_agg.txt
 
 echo "== queue complete =="
