@@ -231,7 +231,7 @@ def _discover_devices(timeouts_s: "tuple[int, ...]" = (120, 300, 600)):
 
 
 def main():
-    import sys as _sys
+    import sys
 
     try:
         _discover_devices()
@@ -245,22 +245,33 @@ def main():
         }))
         # Nonzero exit so automation keying on status sees the failure,
         # not just the JSON error field.
-        _sys.exit(1)
+        sys.exit(1)
 
-    import sys
     import threading
 
     done = threading.Event()
     emit_lock = threading.Lock()
+    out = {}  # enriched by the main thread via _merge, emitted once
 
-    def _emit_once(payload) -> bool:
+    def _merge(updates) -> None:
+        # All mutations of `out` hold the emit lock: the secondary
+        # watchdog serializes/copies it from another thread, and a
+        # mid-insert json.dumps would raise ("dict changed size") AFTER
+        # done.set(), losing the one JSON line entirely.
+        with emit_lock:
+            out.update(updates)
+
+    def _emit_once(payload=None, extra=None) -> bool:
         # Single-shot: exactly one of a watchdog and the main thread
         # prints, even if a timer fires as the main thread finishes.
         with emit_lock:
             if done.is_set():
                 return False
             done.set()
-            print(json.dumps(payload))
+            obj = dict(out) if payload is None else payload
+            if extra:
+                obj.update(extra)
+            print(json.dumps(obj))
             sys.stdout.flush()
             return True
 
@@ -295,18 +306,18 @@ def main():
             "vs_baseline": None,
             "error": f"headline measurement failed: {e!r}"[:200],
         })
-        _sys.exit(1)
+        sys.exit(1)
     finally:
         headline_watchdog.cancel()
     base = baseline_steps_per_sec()
     vs = ours / base if base == base else float("nan")
-    out = {
+    _merge({
         "metric": "dsprites_arvae_train_steps_per_sec_b128",
         "value": round(ours, 2),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 2) if vs == vs else None,
         "dsprites_step_ms": round(1e3 / ours, 3),
-    }
+    })
 
     # The headline is now in hand; everything below enriches it. A
     # mid-bench tunnel death usually raises (caught below), but the
@@ -314,8 +325,7 @@ def main():
     # that prints whatever `out` holds and exits, so the single JSON
     # line survives either failure mode.
     def _bail():
-        out["secondary_timeout"] = True
-        if _emit_once(out):
+        if _emit_once(extra={"secondary_timeout": True}):
             # The headline value is in the JSON line, but a timeout is
             # still a failure for automation keying on exit status.
             os._exit(1)
@@ -331,13 +341,15 @@ def main():
         music_base = baseline_steps_per_sec("measure_vae_steps_per_sec")
         music_vs = (music / music_base if music_base == music_base
                     else float("nan"))
-        out["measure_vae_steps_per_sec_b256"] = round(music, 2)
-        out["measure_vae_vs_baseline"] = (
-            round(music_vs, 2) if music_vs == music_vs else None
-        )
+        _merge({
+            "measure_vae_steps_per_sec_b256": round(music, 2),
+            "measure_vae_vs_baseline": (
+                round(music_vs, 2) if music_vs == music_vs else None
+            ),
+        })
     except Exception as e:  # pragma: no cover - transport failure path
         music = float("nan")
-        out["measure_vae_error"] = repr(e)[:200]
+        _merge({"measure_vae_error": repr(e)[:200]})
 
     # Roofline framing for the music step (VERDICT r2 item 5): analytic
     # matmul FLOPs (the XLA cost model cannot see inside the Pallas
@@ -349,22 +361,26 @@ def main():
     try:
         mod = music_bench_module()
         peak_tflops = mod.measure_peak_matmul_tflops()
-        out["peak_matmul_tflops_measured"] = round(peak_tflops, 1)
-        out["dsprites_mfu_pct"] = round(
-            image_flops_step * ours / (peak_tflops * 1e12) * 100.0, 2)
+        _merge({
+            "peak_matmul_tflops_measured": round(peak_tflops, 1),
+            "dsprites_mfu_pct": round(
+                image_flops_step * ours / (peak_tflops * 1e12) * 100.0, 2),
+        })
         if music == music:
             flops_step = mod.analytic_matmul_flops()
             step_ms = 1e3 / music
             floor_ms = flops_step / (peak_tflops * 1e12) * 1e3
-            out["measure_vae_step_ms"] = round(step_ms, 3)
-            out["measure_vae_matmul_floor_ms"] = round(floor_ms, 4)
-            out["measure_vae_vs_floor"] = round(step_ms / floor_ms, 2)
-            out["measure_vae_mfu_pct"] = round(
-                flops_step * music / (peak_tflops * 1e12) * 100.0, 2)
+            _merge({
+                "measure_vae_step_ms": round(step_ms, 3),
+                "measure_vae_matmul_floor_ms": round(floor_ms, 4),
+                "measure_vae_vs_floor": round(step_ms / floor_ms, 2),
+                "measure_vae_mfu_pct": round(
+                    flops_step * music / (peak_tflops * 1e12) * 100.0, 2),
+            })
     except Exception as e:  # pragma: no cover - transport failure path
-        out["roofline_error"] = repr(e)[:200]
+        _merge({"roofline_error": repr(e)[:200]})
 
-    _emit_once(out)
+    _emit_once()
     watchdog.cancel()
 
 

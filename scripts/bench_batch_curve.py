@@ -9,20 +9,29 @@ streamed conditioning cost vs plain MXU shape effects) can be read off
 the curve: if the fallback shows the same dip, it's not the kernel's
 streaming.
 
+Each row records ``fused_active`` — whether the fused decoder kernel
+actually engaged — because the kernel's own VMEM guard rejects some
+shapes regardless of the request (B=2048/H=128 models ~21.5 MB > the
+15 MB budget), and a mislabeled row would defeat the attribution.
+
 Run on the real TPU (one TPU process at a time):
     python scripts/bench_batch_curve.py [--steps 1024]
 """
 
 import argparse
-import importlib.util
 import json
 import os
+import sys
 
 _here = os.path.dirname(os.path.abspath(__file__))
-spec = importlib.util.spec_from_file_location(
-    "bench_measure_vae", os.path.join(_here, "bench_measure_vae.py"))
-bmv = importlib.util.module_from_spec(spec)
-spec.loader.exec_module(bmv)
+sys.path.insert(0, _here)
+
+import bench_measure_vae as bmv  # noqa: E402
+
+from arvae_tpu.ops import hier_decoder_pallas  # noqa: E402
+
+MEASURE_SEQ_LEN = 24
+HIDDEN, LAYERS = 128, 2
 
 
 def main():
@@ -36,17 +45,21 @@ def main():
         if not fused:
             os.environ["ARVAE_NO_GRU_PALLAS"] = "1"
         for b in [int(x) for x in args.batches.split(",")]:
+            active = hier_decoder_pallas.enabled(
+                b, HIDDEN, LAYERS, bmv.VOCAB_SIZE, MEASURE_SEQ_LEN, "argmax")
             try:
                 sps = bmv.measure("hier", batch=b, measure_steps=args.steps)
                 print(json.dumps({
                     "batch": b,
-                    "fused": fused,
+                    "fused_requested": fused,
+                    "fused_active": active,
                     "steps_per_sec": round(sps, 2),
                     "samples_per_sec": round(sps * b, 0),
                 }), flush=True)
             except Exception as e:
                 print(json.dumps({
-                    "batch": b, "fused": fused,
+                    "batch": b, "fused_requested": fused,
+                    "fused_active": active,
                     "error": repr(e)[:200],
                 }), flush=True)
 

@@ -80,13 +80,12 @@ def measure(decoder_type: str = "hier", batch: int = BATCH,
     def loss_fn(p, score, key):
         if ablate == "encoder":
             # encoder + reparam only
-            import jax.numpy as jnp2
             z_mean, z_log_std = model.apply(
                 {"params": p}, score, train=True,
                 method=model.encode,
                 rngs={"dropout": jax.random.fold_in(key, 1)},
             )
-            loss = kld_loss(z_mean, z_log_std, 0.001, 0.0) + jnp2.mean(z_mean)
+            loss = kld_loss(z_mean, z_log_std, 0.001, 0.0) + jnp.mean(z_mean)
             return loss, loss
         out = model.apply({"params": p}, score, train=True, rng_key=key)
         loss = token_cross_entropy_loss(out.weights, score)
@@ -130,6 +129,11 @@ def measure(decoder_type: str = "hier", batch: int = BATCH,
     # K-aligned and inside the permutation so successive chunks cover
     # disjoint batch windows with no clamped out-of-range slices.
     n_chunk_starts = (N_ROWS // batch // K) * K
+    if n_chunk_starts == 0:
+        raise ValueError(
+            f"batch={batch} too large: the {N_ROWS}-row corpus holds "
+            f"fewer than one K={K} step chunk ({N_ROWS // batch} batches)"
+        )
 
     i = 0
     while i < WARMUP_STEPS:

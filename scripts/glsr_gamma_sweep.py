@@ -24,6 +24,21 @@ import click
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def run_streamed(cmd):
+    """Run a child, tee its stdout live, return (returncode, lines).
+
+    A buffered `capture_output=True` run would show nothing for a
+    multi-epoch training and discard the diagnostics on failure."""
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    lines = []
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+        lines.append(line.rstrip("\n"))
+    return proc.wait(), lines
+
+
 @click.command()
 @click.option("--gammas", default="0.0001,0.001,0.01,0.1",
               help="comma-separated gamma values to sweep")
@@ -42,16 +57,18 @@ def main(gammas, epochs, short, rand):
         if short:
             cmd.append("--short")
         print("== gamma", g, "==", flush=True)
-        subprocess.run(cmd, check=True)
-        # locate the run's cached metrics via the trainer's own naming
-        from arvae_tpu.core.config import TrainerHParams, run_dir, \
-            trainer_config_string
-
-        hp = TrainerHParams(lr=1e-4, beta=0.001, capacity=0.0, gamma=g,
-                            delta=10.0, rand=rand,
-                            reg_type=("rhy_complexity",), reg_dim=(0,))
-        rd = run_dir("folk_MeasureVAE" + trainer_config_string(hp) + "GLSR")
-        fp = os.path.join(rd, "results_dict.json")
+        rc, lines = run_streamed(cmd)
+        if rc != 0:
+            # partial rows survive a mid-sweep tunnel death
+            results[g] = {"error": f"exit {rc}"}
+            continue
+        # the CLI prints its own run dir — no naming re-derivation here
+        run_dirs = [ln.split("run_dir:", 1)[1].strip()
+                    for ln in lines if ln.startswith("run_dir:")]
+        if not run_dirs:
+            results[g] = {"error": "no run_dir line in CLI output"}
+            continue
+        fp = os.path.join(run_dirs[-1], "results_dict.json")
         with open(fp) as f:
             m = json.load(f)
         results[g] = {
@@ -64,8 +81,11 @@ def main(gammas, epochs, short, rand):
 
     print("\n=== sweep summary (majority-token base rate is ~0.644) ===")
     for g, m in sorted(results.items()):
-        print(f"gamma={g:g}\tacc={m['test_acc']:.4f}\t"
-              f"loss={m['test_loss']:.4f}\tinterp={m['interpretability']}")
+        if "error" in m:
+            print(f"gamma={g:g}\t{m['error']}")
+        else:
+            print(f"gamma={g:g}\tacc={m['test_acc']:.4f}\t"
+                  f"loss={m['test_loss']:.4f}\tinterp={m['interpretability']}")
 
 
 if __name__ == "__main__":

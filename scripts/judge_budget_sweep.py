@@ -31,6 +31,20 @@ CELLS = [
 ]
 
 
+def run_streamed(cmd):
+    """Tee the child's stdout live (a 20-epoch run must show progress,
+    and failure diagnostics must not vanish into a discarded
+    CalledProcessError)."""
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    lines = []
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+        lines.append(line)
+    return proc.wait(), "".join(lines)
+
+
 def main():
     rows = []
     for epochs, augment in CELLS:
@@ -39,9 +53,11 @@ def main():
         if augment:
             cmd.append("--augment")
         print("==", " ".join(cmd), flush=True)
-        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        print(out.stdout, flush=True)
-        accs = re.findall(r"accuracy (\d+\.\d+)", out.stdout)
+        rc, text = run_streamed(cmd)
+        if rc != 0:
+            rows.append((epochs, augment, None))
+            continue
+        accs = re.findall(r"accuracy (\d+\.\d+)", text)
         rows.append((epochs, augment, float(accs[-1]) if accs else None))
 
     print("\n=== judge accuracy vs budget (reference anchor 0.9615) ===")

@@ -193,6 +193,10 @@ def main(
                 rand=r,
             )
 
+        # One machine-greppable line per run: sweep drivers locate the
+        # results cache from this instead of re-deriving the naming.
+        print("run_dir:", trainer.run_dir, flush=True)
+
         if do_train:
             trainer.train_model(batch_size=batch_size, num_epochs=num_epochs,
                                 log=log)
