@@ -62,6 +62,22 @@ def run_dir(model_repr: str) -> str:
     return os.path.join(models_root(), model_repr)
 
 
+def normalize_reg_dim(reg_dim, reg_type) -> Tuple[int, ...]:
+    """Latent-dim spec → tuple, scalar-safe.
+
+    A bare int is a convention the codebase itself uses (the GLSR
+    trainer wraps one), and ``tuple(reg_dim or ())`` would silently
+    turn ``reg_dim=0`` into "no regularization" while the run dir
+    still claims the reg config — the one scalar that's wrong instead
+    of a TypeError. Empty when ``reg_type`` is empty, matching the
+    reference's use_reg_loss gating."""
+    if not len(tuple(reg_type or ())):
+        return ()
+    if isinstance(reg_dim, (int,)):
+        return (int(reg_dim),)
+    return tuple(int(d) for d in (reg_dim or ()))
+
+
 def expand_reg_dims(
     reg_type: Tuple[str, ...], attr_dict: dict, skip=("digit_identity", "color")
 ) -> Tuple[int, ...]:

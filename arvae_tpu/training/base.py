@@ -178,9 +178,11 @@ class BaseTrainer(abc.ABC):
                 epoch_num,
             )
 
-    # Trainers with a plain (state, batch, key) step opt in to the
-    # device-resident input path; adversarial trainers with bespoke
-    # epoch logic leave it off.
+    # Every trainer with a (state, batch, key)-shaped step core rides
+    # the device-resident input path (all current trainers do,
+    # including the fader's two-optimizer adversarial step); a future
+    # trainer with bespoke epoch logic can opt out here. The
+    # ARVAE_HOST_LOADER env var forces the host path at runtime.
     supports_device_data = True
 
     def _maybe_device_runner(self, batch_size: int):
@@ -229,6 +231,99 @@ class BaseTrainer(abc.ABC):
             return runner.val_split
         return None
 
+    @staticmethod
+    def _split_scoped_jit(sp, cache_key, make):
+        """Jit cache stored ON the split: repeat callers (the per-epoch
+        eval hook, tester sweeps) must not re-trace every call — but a
+        trainer-held cache keyed by id(sp) would pin every past split's
+        HBM buffers through the jitted closures (a retrain builds a
+        fresh runner + splits). Tying the cache to the split's own
+        lifetime keeps both properties."""
+        cache = sp.__dict__.setdefault("_trainer_jits", {})
+        if cache_key not in cache:
+            cache[cache_key] = jax.jit(make())
+        return cache[cache_key]
+
+    def _device_harvest_scan(self, sp, batch_size: int, num_batches: int,
+                             encode_batch, tag: str):
+        """Latent harvest as ONE jitted scan over a device-resident
+        split (the host path costs a device_put round trip per batch on
+        this transport). ``encode_batch(params, x, labs, key, i) ->
+        (z, labels)`` is the trainer-specific per-batch encoding;
+        ``tag`` keys the jit cache per encoding variant."""
+        batch_size = min(batch_size, max(sp.n, 1))
+        steps = min(sp.num_batches(batch_size), num_batches + 1)
+        state = self.ensure_state()
+
+        def make_harvest():
+            def harvest(params, rows, labels, key):
+                def body(_, i):
+                    idx = (jnp.arange(batch_size, dtype=jnp.int32)
+                           + i * batch_size)
+                    x, labs = sp.gather_batch(rows, labels, idx)
+                    return None, encode_batch(params, x, labs, key, i)
+
+                _, (z, l) = jax.lax.scan(body, None, jnp.arange(steps))
+                return (z.reshape(-1, z.shape[-1]),
+                        l.reshape(-1, l.shape[-1]))
+
+            return harvest
+
+        fn = self._split_scoped_jit(sp, (tag, batch_size, steps),
+                                    make_harvest)
+        z, labels = fn(
+            state.params, sp.images, sp.labels,
+            jax.random.fold_in(self._base_key, 7_000_000),
+        )
+        return np.asarray(z), np.asarray(labels)
+
+    def _device_test_sweep(self, sp, batch_size: int, batch_metrics):
+        """(mean_loss, mean_acc) over a device split with equal
+        per-batch weight INCLUDING the final partial batch — the host
+        loaders are drop_last=False, so silently excluding up to B-1
+        tail rows would change the blessed test metrics.
+        ``batch_metrics(params, x, labs, key) -> (loss, acc)``."""
+        bs = min(batch_size, sp.n)
+        steps = max(sp.num_batches(bs), 1)
+        rem = sp.n - steps * bs
+        state = self.ensure_state()
+
+        def make_sweep():
+            def sweep(params, rows, labels, key):
+                def body(_, i):
+                    idx = jnp.arange(bs, dtype=jnp.int32) + i * bs
+                    x, labs = sp.gather_batch(rows, labels, idx)
+                    return None, batch_metrics(
+                        params, x, labs, jax.random.fold_in(key, i))
+
+                _, (losses, accs) = jax.lax.scan(body, None,
+                                                 jnp.arange(steps))
+                return losses, accs
+
+            return sweep
+
+        base_key = jax.random.fold_in(self._base_key, 9_000_000)
+        losses, accs = self._split_scoped_jit(
+            sp, ("test_sweep", bs, steps), make_sweep
+        )(state.params, sp.images, sp.labels, base_key)
+        losses, accs = list(np.asarray(losses)), list(np.asarray(accs))
+        if rem > 0:
+            def make_tail():
+                def tail(params, rows, labels, key):
+                    idx = jnp.arange(rem, dtype=jnp.int32) + steps * bs
+                    x, labs = sp.gather_batch(rows, labels, idx)
+                    return batch_metrics(params, x, labs, key)
+
+                return tail
+
+            tl, ta = self._split_scoped_jit(
+                sp, ("test_tail", bs, steps, rem), make_tail
+            )(state.params, sp.images, sp.labels,
+              jax.random.fold_in(base_key, steps))
+            losses.append(float(tl))
+            accs.append(float(ta))
+        return float(np.mean(losses)), float(np.mean(accs))
+
     def train_model(self, batch_size: int, num_epochs: int, log: bool = False):
         # Retraining invalidates any cached eval metrics: the trainers'
         # compute_eval_metrics short-circuits on results_dict.json, so a
@@ -246,12 +341,6 @@ class BaseTrainer(abc.ABC):
                 logdir=os.path.join("runs", self.model_repr() + ts)
             )
 
-        gen_train, gen_val, _ = self.dataset.data_loaders(
-            batch_size=batch_size, split=(0.70, 0.20)
-        )
-        print("Num Train Batches: ", len(gen_train))
-        print("Num Valid Batches: ", len(gen_val))
-
         self.ensure_state()
         self._train_step_fn = self.make_train_step()
         self._eval_step_fn = self.make_eval_step()
@@ -259,6 +348,23 @@ class BaseTrainer(abc.ABC):
         # Exposed so per-epoch hooks (eval_model) can harvest from the
         # device-resident validation split instead of the host loader.
         self._device_runner = runner
+
+        if runner is None:
+            gen_train, gen_val, _ = self.dataset.data_loaders(
+                batch_size=batch_size, split=(0.70, 0.20)
+            )
+            n_train = len(gen_train)
+            n_val = len(gen_val)
+        else:
+            # The host loaders would only exist to be counted: building
+            # them copies the whole dataset again on the host (~380 MB
+            # for full dSprites) while the poison-loader test proves
+            # they are never iterated on this path.
+            gen_train = gen_val = None
+            n_train = runner.train_split.num_batches(batch_size)
+            n_val = runner.val_split.num_batches(batch_size)
+        print("Num Train Batches: ", n_train)
+        print("Num Valid Batches: ", n_val)
 
         ckpt = Checkpointer(self.run_dir)
         for epoch_index in range(num_epochs):

@@ -54,12 +54,11 @@ class FaderTrainState(struct.PyTreeNode):
 
 class ImageFaderTrainer(ImageVAETrainer):
     # The two-optimizer adversarial update is still ONE (state, batch,
-    # key) -> (state, metrics) step, so it rides the device-resident
-    # epoch runner like the plain VAE trainers (VERDICT r3 item 3): the
-    # dataset lives in HBM and both optimizer updates happen inside the
-    # scanned chunk — the reference's 100-epoch protocol is otherwise
-    # transfer-bound on this tunneled transport.
-    supports_device_data = True
+    # key) -> (state, metrics) step, so it inherits the device-resident
+    # epoch runner like the plain VAE trainers: the dataset lives in
+    # HBM and both optimizer updates happen inside the scanned chunk —
+    # the reference's 100-epoch protocol is otherwise transfer-bound on
+    # this tunneled transport.
 
     def __init__(
         self,
@@ -321,7 +320,13 @@ class ImageFaderTrainer(ImageVAETrainer):
             with open(results_fp) as infile:
                 self.metrics = json.load(infile)
             return self.metrics
-        _, _, data_loader = self.dataset.data_loaders(batch_size=batch_size)
+        # host loader only for the device-split-less fallback (see
+        # image_trainer.compute_eval_metrics)
+        sp = self._device_eval_split()
+        data_loader = None
+        if sp is None or sp.n == 0:
+            _, _, data_loader = self.dataset.data_loaders(
+                batch_size=batch_size)
         latent_codes, attributes, attr_list = self.compute_representations(
             data_loader
         )
@@ -362,10 +367,16 @@ class ImageFaderTrainer(ImageVAETrainer):
     def eval_model(self, data_loader, epoch_num: int = 0):
         if self.writer is None:
             return
-        # ride the epoch runner's device-resident validation split when
-        # a training run is active (falls back to the host loader)
+        # Ride the epoch runner's device-resident VALIDATION split when
+        # a training run is active; otherwise honor the loader we were
+        # given (use_device=False — the device eval split is TEST data,
+        # which must not stand in for validation here).
+        val_sp = self._device_val_split()
+        if val_sp is None and data_loader is None:
+            _, data_loader, _ = self.dataset.data_loaders(
+                batch_size=128, split=(0.70, 0.20))
         latent_codes, attributes, attr_list = self.compute_representations(
-            data_loader, num_batches=10, split=self._device_val_split()
+            data_loader, num_batches=10, use_device=False, split=val_sp
         )
         for i, attr in enumerate(attr_list):
             interp = self.compute_latent_interpolations(

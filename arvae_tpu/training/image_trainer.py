@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from arvae_tpu.core.config import TrainerHParams, trainer_config_string
+from arvae_tpu.core.config import (TrainerHParams, normalize_reg_dim,
+                                   trainer_config_string)
 from arvae_tpu.models.image_vae import MnistVAE
 from arvae_tpu.ops.losses import (
     kld_loss,
@@ -107,7 +108,7 @@ class ImageVAETrainer(BaseTrainer):
             dec_dist=dec_dist,
             rand=rand,
             reg_type=tuple(reg_type or ()),
-            reg_dim=tuple(reg_dim or ()) if len(reg_type or ()) else (),
+            reg_dim=normalize_reg_dim(reg_dim, reg_type),
         )
         super().__init__(dataset, model, hp, mesh=mesh)
         if use_pallas is None:
@@ -244,37 +245,16 @@ class ImageVAETrainer(BaseTrainer):
         attr_idx = [self.attr_dict[a] for a in attr_list]
         return attributes[:, attr_idx], attr_list
 
-    @staticmethod
-    def _split_scoped_jit(sp, cache_key, make):
-        """Jit cache stored ON the split: the per-epoch eval hook calls
-        the harvest every epoch, so a fresh jit wrapper per call would
-        re-trace each time — but a trainer-held cache keyed by id(sp)
-        would pin every past split's HBM buffers through the jitted
-        closures (a retrain builds a fresh runner + splits). Tying the
-        cache to the split's own lifetime keeps both properties."""
-        import jax as _jax
-
-        cache = sp.__dict__.setdefault("_trainer_jits", {})
-        if cache_key not in cache:
-            cache[cache_key] = _jax.jit(make())
-        return cache[cache_key]
-
     def _device_harvest(self, batch_size: int, num_batches: int, sp=None,
                         encode_batch=None, tag: str = "harvest"):
-        """Latent harvest as ONE jitted scan over a device-resident
-        split — the eval split by default, or a caller-provided one,
-        e.g. the epoch runner's validation split (the host path costs a
-        device_put round trip per batch on this transport).
-
-        ``encode_batch(params, imgs, labs, key, i) -> (z, labels)``
-        overrides the per-batch encoding (the fader uses its
-        deterministic encoder + normalized labels); ``tag`` keys the
-        jit cache per encoding variant."""
+        """Latent harvest over a device-resident split — the eval split
+        by default, or a caller-provided one, e.g. the epoch runner's
+        validation split. ``encode_batch`` overrides the per-batch
+        encoding (the fader uses its deterministic encoder + normalized
+        labels); the scan/caching machinery lives in
+        BaseTrainer._device_harvest_scan."""
         if sp is None:
             sp = self._device_eval_split()
-        batch_size = min(batch_size, max(sp.n, 1))
-        steps = min(sp.num_batches(batch_size), num_batches + 1)
-        state = self.ensure_state()
 
         if encode_batch is None:
             def encode_batch(params, imgs, labs, key, i):
@@ -284,27 +264,8 @@ class ImageVAETrainer(BaseTrainer):
                 )
                 return out.z_tilde, labs
 
-        def make_harvest():
-            def harvest(params, images, labels, key):
-                def body(_, i):
-                    idx = (jnp.arange(batch_size, dtype=jnp.int32)
-                           + i * batch_size)
-                    imgs, labs = sp.gather_batch(images, labels, idx)
-                    return None, encode_batch(params, imgs, labs, key, i)
-
-                _, (z, l) = jax.lax.scan(body, None, jnp.arange(steps))
-                return (z.reshape(-1, z.shape[-1]),
-                        l.reshape(-1, l.shape[-1]))
-
-            return harvest
-
-        fn = self._split_scoped_jit(sp, (tag, batch_size, steps),
-                                    make_harvest)
-        z, labels = fn(
-            state.params, sp.images, sp.labels,
-            jax.random.fold_in(self._base_key, 7_000_000),
-        )
-        return np.asarray(z), np.asarray(labels)
+        return self._device_harvest_scan(sp, batch_size, num_batches,
+                                         encode_batch, tag)
 
     def compute_representations(self, data_loader, num_batches: int = 200,
                                 batch_size: int = 128,
@@ -356,7 +317,14 @@ class ImageVAETrainer(BaseTrainer):
                 self.metrics = json.load(infile)
             return self.metrics
 
-        _, _, data_loader = self.dataset.data_loaders(batch_size=batch_size)
+        # the host loader exists only for the device-split-less fallback
+        # — building it copies the dataset on the host (~380 MB for full
+        # dSprites), so skip it when the device path will be taken
+        sp = self._device_eval_split()
+        data_loader = None
+        if sp is None or sp.n == 0:
+            _, _, data_loader = self.dataset.data_loaders(
+                batch_size=batch_size)
         latent_codes, attributes, attr_list = self.compute_representations(
             data_loader
         )
@@ -392,11 +360,7 @@ class ImageVAETrainer(BaseTrainer):
             # batch_size would gather out-of-range rows (zero rows on
             # the sharded path, duplicated tail rows on the replicated
             # one) and corrupt the reported test loss/acc
-            batch_size = min(batch_size, sp.n)
-            steps = max(sp.num_batches(batch_size), 1)
-            rem = sp.n - steps * batch_size
-
-            def batch_metrics(params, imgs, key):
+            def batch_metrics(params, imgs, labs, key):
                 out = self.model.apply(
                     {"params": params}, imgs, train=False,
                     rngs={"sample": key},
@@ -404,38 +368,8 @@ class ImageVAETrainer(BaseTrainer):
                 return (rec_loss(out.logits, imgs, self.hparams.dec_dist),
                         pix_acc(jax.nn.sigmoid(out.logits), imgs))
 
-            def sweep(params, images, labels, key):
-                def body(_, i):
-                    idx = (jnp.arange(batch_size, dtype=jnp.int32)
-                           + i * batch_size)
-                    imgs, _ = sp.gather_batch(images, labels, idx)
-                    return None, batch_metrics(
-                        params, imgs, jax.random.fold_in(key, i))
-
-                _, (losses, accs) = jax.lax.scan(body, None,
-                                                 jnp.arange(steps))
-                return losses, accs
-
-            base_key = jax.random.fold_in(self._base_key, 9_000_000)
-            losses, accs = jax.jit(sweep)(
-                state.params, sp.images, sp.labels, base_key)
-            losses, accs = list(np.asarray(losses)), list(np.asarray(accs))
-            if rem > 0:
-                # cover the final partial batch like the host loader
-                # (drop_last=False), with equal per-batch weight
-                def tail(params, images, labels, key):
-                    idx = (jnp.arange(rem, dtype=jnp.int32)
-                           + steps * batch_size)
-                    imgs, _ = sp.gather_batch(images, labels, idx)
-                    return batch_metrics(params, imgs, key)
-
-                tl, ta = jax.jit(tail)(
-                    state.params, sp.images, sp.labels,
-                    jax.random.fold_in(base_key, steps))
-                losses.append(float(tl))
-                accs.append(float(ta))
-            mean_loss = float(np.mean(losses))
-            mean_acc = float(np.mean(accs))
+            mean_loss, mean_acc = self._device_test_sweep(
+                sp, batch_size, batch_metrics)
         else:
             _, _, gen_test = self.dataset.data_loaders(batch_size)
             fwd = self._forward_fn()
@@ -730,6 +664,12 @@ class ImageVAETrainer(BaseTrainer):
         # in HBM — harvest from it (zero per-batch host transfers);
         # otherwise fall back to the host loader we were given.
         val_sp = self._device_val_split()
+        if val_sp is None and data_loader is None:
+            # train_model skips building host loaders on the device
+            # path; this branch only triggers when the runner's val
+            # split is empty (tiny datasets)
+            _, data_loader, _ = self.dataset.data_loaders(
+                batch_size=128, split=(0.70, 0.20))
         latent_codes, attributes, attr_list = self.compute_representations(
             data_loader, num_batches=20, use_device=False, split=val_sp
         )

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from arvae_tpu.core.config import TrainerHParams, trainer_config_string
+from arvae_tpu.core.config import (TrainerHParams, normalize_reg_dim,
+                                   trainer_config_string)
 from arvae_tpu.data.attributes import MUSIC_REG_TYPE
 from arvae_tpu.models.measure_vae import MEASURE_SEQ_LEN, MeasureVAE
 from arvae_tpu.ops.losses import (
@@ -64,7 +65,7 @@ class MeasureVAETrainer(BaseTrainer):
             delta=delta,
             rand=rand,
             reg_type=tuple(reg_type or ()),
-            reg_dim=tuple(reg_dim or ()) if len(reg_type or ()) else (),
+            reg_dim=normalize_reg_dim(reg_dim, reg_type),
         )
         super().__init__(dataset, model, hp, mesh=mesh)
         if use_pallas is None:
@@ -75,6 +76,18 @@ class MeasureVAETrainer(BaseTrainer):
         # cache, and embedding lookups clamp inside jit (silently wrong)
         # rather than raising — catch the undersized model loudly here.
         dataset.get_dataset()
+        # process_batch reshapes rows into fixed MEASURE_SEQ_LEN ticks
+        # and the tensorized attribute tables assume the same grid — a
+        # non-4/4 corpus (18-tick measures) would reshape cleanly and
+        # train on bar-straddling windows with no error. Reject loudly.
+        ticks = dataset.beat_subdivisions * dataset.time_sig_num
+        if ticks != MEASURE_SEQ_LEN:
+            raise ValueError(
+                f"dataset measures span {ticks} ticks "
+                f"({dataset.time_sig_num}/{dataset.time_sig_den} × "
+                f"{dataset.beat_subdivisions} subdivisions) but MeasureVAE "
+                f"is built on {MEASURE_SEQ_LEN}-tick measures"
+            )
         if model.num_notes < len(dataset.note2index_dicts):
             raise ValueError(
                 f"model num_notes={model.num_notes} is smaller than the "
@@ -237,30 +250,16 @@ class MeasureVAETrainer(BaseTrainer):
         state = self.ensure_state()
         sp = self._device_eval_split() if use_device else None
         if sp is not None and sp.n > 0:
-            batch_size = min(batch_size, sp.n)
-            steps = min(sp.num_batches(batch_size), num_batches + 1)
 
-            def harvest(params, images, labels, key):
-                def body(_, i):
-                    idx = (jnp.arange(batch_size, dtype=jnp.int32)
-                           + i * batch_size)
-                    score, _ = sp.gather_batch(images, labels, idx)
-                    out = self.model.apply(
-                        {"params": params}, score, train=False,
-                        rng_key=jax.random.fold_in(key, i),
-                    )
-                    labs = self.attrs.compute_labels(score)
-                    return None, (out.z_tilde, labs)
+            def encode_batch(params, score, labs, key, i):
+                out = self.model.apply(
+                    {"params": params}, score, train=False,
+                    rng_key=jax.random.fold_in(key, i),
+                )
+                return out.z_tilde, self.attrs.compute_labels(score)
 
-                _, (z, l) = jax.lax.scan(body, None, jnp.arange(steps))
-                return (z.reshape(-1, z.shape[-1]),
-                        l.reshape(-1, l.shape[-1]))
-
-            z, labels = jax.jit(harvest)(
-                state.params, sp.images, sp.labels,
-                jax.random.fold_in(self._base_key, 7_000_000),
-            )
-            latent_codes, attributes = np.asarray(z), np.asarray(labels)
+            latent_codes, attributes = self._device_harvest_scan(
+                sp, batch_size, num_batches, encode_batch, "harvest")
         else:
             fwd = self._forward_fn()
             latent_codes, attributes = [], []
@@ -295,12 +294,19 @@ class MeasureVAETrainer(BaseTrainer):
                 self.metrics = json.load(infile)
             return self.metrics
 
-        _, _, data_loader = self.dataset.data_loaders(batch_size=batch_size)
-        if len(data_loader) == 0:  # eval split smaller than the batch size
+        # host loader only for the device-split-less fallback (building
+        # it re-tensorizes the corpus on the host)
+        sp = self._device_eval_split()
+        data_loader = None
+        if sp is None or sp.n == 0:
             _, _, data_loader = self.dataset.data_loaders(
-                batch_size=max(1, data_loader.base.n if hasattr(data_loader, "base")
-                               else data_loader.n)
-            )
+                batch_size=batch_size)
+            if len(data_loader) == 0:  # eval split smaller than batch
+                _, _, data_loader = self.dataset.data_loaders(
+                    batch_size=max(
+                        1, data_loader.base.n if hasattr(data_loader, "base")
+                        else data_loader.n)
+                )
         latent_codes, attributes, attr_list = self.compute_representations(
             data_loader
         )
@@ -328,48 +334,16 @@ class MeasureVAETrainer(BaseTrainer):
         state = self.ensure_state()
         sp = self._device_eval_split()
         if sp is not None and sp.n > 0:
-            bs = min(batch_size, sp.n)
-            steps = max(sp.num_batches(bs), 1)
-            rem = sp.n - steps * bs  # tail rows the full-batch scan misses
 
-            def batch_metrics(params, score, key):
+            def batch_metrics(params, score, labs, key):
                 out = self.model.apply(
                     {"params": params}, score, train=False, rng_key=key,
                 )
                 return (token_cross_entropy_loss(out.weights, score),
                         token_accuracy(out.weights, score))
 
-            def sweep(params, rows, labels, key):
-                def body(_, i):
-                    idx = jnp.arange(bs, dtype=jnp.int32) + i * bs
-                    score, _ = sp.gather_batch(rows, labels, idx)
-                    return None, batch_metrics(
-                        params, score, jax.random.fold_in(key, i))
-
-                _, (losses, accs) = jax.lax.scan(body, None,
-                                                 jnp.arange(steps))
-                return losses, accs
-
-            base_key = jax.random.fold_in(self._base_key, 9_000_000)
-            losses, accs = jax.jit(sweep)(
-                state.params, sp.images, sp.labels, base_key)
-            losses, accs = list(np.asarray(losses)), list(np.asarray(accs))
-            if rem > 0:
-                # the host loader covers the final partial batch
-                # (drop_last=False) with equal per-batch weight — do the
-                # same rather than silently excluding up to bs-1 rows
-                def tail(params, rows, labels, key):
-                    idx = jnp.arange(rem, dtype=jnp.int32) + steps * bs
-                    score, _ = sp.gather_batch(rows, labels, idx)
-                    return batch_metrics(params, score, key)
-
-                tl, ta = jax.jit(tail)(
-                    state.params, sp.images, sp.labels,
-                    jax.random.fold_in(base_key, steps))
-                losses.append(float(tl))
-                accs.append(float(ta))
-            mean_loss = float(np.mean(losses))
-            mean_acc = float(np.mean(accs))
+            mean_loss, mean_acc = self._device_test_sweep(
+                sp, batch_size, batch_metrics)
         else:
             _, _, gen_test = self.dataset.data_loaders(batch_size)
             if len(gen_test) == 0:

@@ -104,3 +104,18 @@ class TestImageVAETrainer:
             np.zeros((1, 10), np.float32), 1, 2, num_points=3
         )
         assert grid2.ndim == 3
+
+
+class TestScalarRegDim:
+    def test_scalar_reg_dim_zero_still_regularizes(self, dsprites, models_dir):
+        """reg_dim=0 (a bare int, the convention the GLSR trainer uses)
+        must mean 'regularize latent dim 0', not silently disable the
+        reg loss via tuple(0 or ()) == ()."""
+        tr = make_trainer(dsprites, reg_type=("shape",), reg_dim=0)
+        assert tr.hparams.reg_dim == (0,)
+        assert tr.hparams.use_reg_loss
+        tr2 = make_trainer(dsprites, reg_type=("scale",), reg_dim=3)
+        assert tr2.hparams.reg_dim == (3,)
+        # empty reg_type still means no regularization
+        tr3 = make_trainer(dsprites, reg_type=(), reg_dim=(1, 2))
+        assert tr3.hparams.reg_dim == ()

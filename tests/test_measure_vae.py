@@ -141,3 +141,20 @@ class TestMeasureTrainer:
         # decode path
         score, samples = tr.decode_latent_codes(np.zeros((1, 16), np.float32))
         assert samples.shape == (1, 24)
+
+
+class TestMeasureLengthGuard:
+    def test_non_44_corpus_rejected(self, folk, tmp_path, monkeypatch):
+        """A 3/4 corpus reshapes cleanly into 24-tick windows that
+        straddle bar lines — the trainer must reject it loudly."""
+        monkeypatch.setenv("ARVAE_MODELS_DIR", str(tmp_path / "models"))
+        from arvae_tpu.training.measure_trainer import MeasureVAETrainer
+
+        ds34 = FolkNBarDataset(dataset_type="train", is_short=True,
+                               num_bars=1, time_sig_num=3)
+        model = MeasureVAE(
+            num_notes=64, encoder_hidden_size=32,
+            decoder_hidden_size=32, latent_space_dim=16,
+        )
+        with pytest.raises(ValueError, match="18 ticks"):
+            MeasureVAETrainer(ds34, model, reg_type=(), reg_dim=())
