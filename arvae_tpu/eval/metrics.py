@@ -141,7 +141,11 @@ def _compute_score_matrix(mus, ys):
             cov_mu_y = cov[0, 1] ** 2
             var_mu = cov[0, 0]
             var_y = cov[1, 1]
-            if var_mu > 1e-12:
+            # var_y == 0 (an exactly-constant attribute column) would
+            # make this 0/0 = nan and poison SAP_score in
+            # results_dict.json — the same degenerate input the MIG
+            # zero-entropy guard covers; no information, score 0
+            if var_mu > 1e-12 and var_y > 1e-12:
                 score_matrix[i, j] = cov_mu_y / (var_mu * var_y)
             else:
                 score_matrix[i, j] = 0.0

@@ -48,6 +48,10 @@ class VAETester:
 
     def _encode_batches(self, gen, attr_type: Optional[str], sample: bool,
                         max_batches: int = 200, return_scores: bool = False):
+        """Encodes up to max_batches+1 batches — the break sits after
+        the append, reproducing the reference's cap semantics
+        (vae_tester.py / compute_representations encode 201 batches at
+        the documented 200 cap)."""
         state = self.trainer.ensure_state()
         fwd = self.trainer._forward_fn()
         z_all, attr_all, scores = [], [], []
@@ -88,9 +92,20 @@ class VAETester:
             batch_size=batch_size, split=(0.01, 0.01)
         )
         z_all, attr_all = self._encode_batches(gen_test, attr_type, sample=True)
+        # The reference feeds raw float latents to the *categorical*
+        # sklearn mutual_info_score (vae_tester.py:58-111): every float
+        # is its own category, so MI(z_i; attr) == H(attr) for EVERY
+        # dim and argmax degenerates to dim 0 regardless of which dim
+        # encodes the attribute. Per the capability-not-the-bug policy
+        # (SURVEY §2), quantile-bin the latents first so the probe
+        # actually discriminates dims.
         mutual_info = np.zeros(self.z_dim)
+        n_bins = max(2, min(20, len(z_all) // 20))
         for i in range(self.z_dim):
-            mutual_info[i] = mutual_info_score(z_all[:, i], attr_all)
+            edges = np.quantile(z_all[:, i], np.linspace(0, 1, n_bins + 1))
+            binned = np.clip(
+                np.searchsorted(edges[1:-1], z_all[:, i]), 0, n_bins - 1)
+            mutual_info[i] = mutual_info_score(binned, attr_all)
         dim = int(np.argmax(mutual_info))
         reg = LinearRegression().fit(z_all[:, dim : dim + 1], attr_all)
         score = float(reg.score(z_all[:, dim : dim + 1], attr_all))
@@ -130,13 +145,13 @@ class VAETester:
         for i in range(n):
             zs.append(z1 + (z2 - z1) * (i + 1) / (n + 1))
         zs.append(z2)
-        tensors = []
-        for z in zs:
-            _, samples = self.trainer.decode_latent_codes(
-                np.asarray(z, np.float32)
-            )
-            tensors.append(samples.reshape(1, -1))
-        return np.concatenate(tensors, axis=1)
+        # ONE batched decode: per-point batch-1 decoder executions pay
+        # this backend's per-call RPC overhead (~0.05-1 s each), which
+        # turns a traversal sweep into minutes of dead time
+        z_batch = np.concatenate(
+            [np.asarray(z, np.float32).reshape(1, -1) for z in zs], axis=0)
+        _, samples = self.trainer.decode_latent_codes(z_batch)
+        return np.asarray(samples).reshape(1, -1)
 
     def test_interpolation(self, tensor_score1, tensor_score2, n: int = 1):
         """Latent interpolation between two measures → Score."""
@@ -210,10 +225,14 @@ class VAETester:
         z[:, dim1] = z1.reshape(-1)
         z[:, dim2] = z2.reshape(-1)
         mini = 500
-        num_mini = max(num_points // mini, 1)
+        # ceil division: flooring would silently drop up to mini-1 grid
+        # points (a whole band of the surface) from every plot
+        num_mini = max(-(-num_points // mini), 1)
         results = {"note_density": [], "note_range": [], "rhy_complexity": []}
         for i in range(num_mini):
             zb = z[i * mini : (i + 1) * mini]
+            if len(zb) == 0:
+                break
             _, samples = self.trainer.decode_latent_codes(zb)
             samples = samples.reshape(zb.shape[0], -1)
             results["note_density"].append(
@@ -222,7 +241,6 @@ class VAETester:
                 self.dataset.get_pitch_range_in_measure(samples))
             results["rhy_complexity"].append(
                 self.dataset.get_rhy_complexity(samples))
-        z = z[: num_mini * mini]
         for name, vals in results.items():
             fp = os.path.join(
                 self.plots_dir, f"attr_surf_{name}_[{dim1},{dim2}].png"
@@ -314,15 +332,12 @@ class VAETester:
 
     @staticmethod
     def plot_dim(data, target, filename, dim1=0, dim2=1, xlim=None, ylim=None):
-        if xlim is not None:
-            plt.xlim(-xlim, xlim)
-        if ylim is not None:
-            plt.ylim(-ylim, ylim)
-        plt.scatter(data[:, dim1], data[:, dim2], c=target, s=12,
-                    linewidths=0, cmap="viridis", alpha=0.5)
-        plt.colorbar()
-        plt.savefig(filename, format="png", dpi=150)
-        plt.close()
+        # one scatter helper for the whole codebase — a styling fix in
+        # utils.plotting must reach the tester's figures too
+        from arvae_tpu.utils.plotting import plot_dim as _plot_dim
+
+        _plot_dim(data, target, filename, dim1=dim1, dim2=dim2,
+                  xlim=xlim, ylim=ylim)
         print("saved: " + filename)
 
 

@@ -125,6 +125,18 @@ def read_midi(path: str) -> List[NoteEvent]:
                     notes.append(
                         (pitch, start / division, (t - start) / division)
                     )
+            elif status in (0xF0, 0xF7):
+                # SysEx: variable-length payload length, then payload —
+                # treating it as a 2-data-byte channel message would
+                # desync the parser on any externally produced file
+                slen = 0
+                while True:
+                    b = track[i]
+                    i += 1
+                    slen = (slen << 7) | (b & 0x7F)
+                    if not b & 0x80:
+                        break
+                i += slen
             else:
                 # other channel messages: Program Change (0xC0) and
                 # Channel Pressure (0xD0) carry ONE data byte; the rest

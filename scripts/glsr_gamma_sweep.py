@@ -40,8 +40,10 @@ def run_streamed(cmd):
 
 
 @click.command()
-@click.option("--gammas", default="0.0001,0.001,0.01,0.1",
-              help="comma-separated gamma values to sweep")
+@click.option("--gammas", default="0.0001,0.001,0.01,0.1,1.0",
+              help="comma-separated gamma values to sweep (1.0 is the "
+                   "reference default — retraining it also restores the "
+                   "checkpoint the GLSR tester sweep loads)")
 @click.option("--epochs", default=30, help="epochs per cell")
 @click.option("--short/--full", default=False,
               help="use the small synthetic corpus")

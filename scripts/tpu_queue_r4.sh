@@ -55,6 +55,10 @@ for d in mnist dsprites; do
   done
 done
 
+echo "== 5b. regenerate tester figs (binned-MI interpretability probe) =="
+fits 3600 && timeout 3600 python scripts/run_tester_sweep.py --glsr 2>&1 \
+  | tee logs/r4/tester_sweep.log
+
 echo "== 6. aggregate the fader protocol (mean ± std for RESULTS.md) =="
 python scripts/aggregate_results.py \
   "models/MnistFader_r_*_b_4.0_" "models/DspritesFader_r_*_b_4.0_" \

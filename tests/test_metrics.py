@@ -108,3 +108,26 @@ def test_normalize_data_zscore():
     out, mean, std = normalize_data(x)
     np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-9)
     np.testing.assert_allclose(out.std(axis=0), 1.0, atol=1e-9)
+
+
+def test_sap_constant_attribute_is_finite():
+    """An exactly-constant attribute column must contribute 0, not
+    0/0 = nan (the same degenerate input the MIG guard covers)."""
+    rng = np.random.RandomState(0)
+    z = rng.randn(200, 8)
+    attrs = np.stack([z[:, 0] + 0.01 * rng.randn(200),
+                      np.full(200, 3.5)], axis=1)
+    out = compute_sap_score(z, attrs)
+    assert np.isfinite(out["SAP_score"])
+
+
+def test_mig_constant_attribute_warns_not_nan():
+    rng = np.random.RandomState(1)
+    z = rng.randn(200, 4)
+    attrs = np.stack([z[:, 1], np.full(200, 2.0)], axis=1)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = compute_mig(z, attrs)
+    assert np.isfinite(out["mig"])

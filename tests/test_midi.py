@@ -54,3 +54,25 @@ def test_pianoroll_shape():
     assert roll.shape == (6, 128)
     assert roll[:, 60].sum() == 6
     assert np.sum(roll) == 6
+
+
+def test_read_skips_sysex_payload(tmp_path):
+    """SysEx (0xF0/0xF7) events carry a variable-length payload; a
+    fixed 2-byte skip desyncs the parser on externally produced files."""
+    division = 480
+    track = bytes(
+        [0x00, 0xF0, 0x03, 0x7E, 0x7F, 0xF7]  # 3-byte SysEx payload
+        + [0x00, 0x90, 60, 90]                # note on C4
+        + [0x83, 0x60, 0xF7, 0x01, 0x00]      # delta 480, escape SysEx
+        + [0x00, 0x80, 60, 0]                 # note off C4
+        + [0x00, 0xFF, 0x2F, 0x00]            # end of track
+    )
+    data = (
+        b"MThd" + struct.pack(">IHHH", 6, 0, 1, division)
+        + b"MTrk" + struct.pack(">I", len(track)) + track
+    )
+    fp = str(tmp_path / "sysex.mid")
+    with open(fp, "wb") as f:
+        f.write(data)
+    notes = read_midi(fp)
+    assert notes == [(60, 0.0, 1.0)]
