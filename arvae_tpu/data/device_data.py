@@ -186,7 +186,7 @@ class DeviceSplit:
                 # so the gather stays shard-local — a plain jnp.take on
                 # the row-sharded table would make XLA all-gather the
                 # whole dataset — then drop the pad rows.
-                pad = ((b + d - 1) // d) * d - b
+                pad = self.ctx.pad_batch(b) - b
                 idx_p = jnp.concatenate(
                     [idx, jnp.broadcast_to(idx[-1:], (pad,))])
                 rows, labs = self._sharded_take(images, labels, idx_p)

@@ -53,9 +53,29 @@ class MnistDataset(SplitArrayDataset):
         self.root_dir = os.path.join(root, "plain")
         tr = self._load_or_generate("train")
         te = self._load_or_generate("t10k")
-        super().__init__(tr[:2], te[:2], seed=seed)
-        self._full_train = tr
-        self._full_test = te
+        super().__init__(tr, te, seed=seed)
+        self._arrays = {"train": tr, "t10k": te}
+        self._morpho = {}
+
+    # Morphometrics are measured LAZILY: the plain-MNIST loaders yield
+    # (image, digit) only, and measuring the whole set costs minutes of
+    # process-pool time on a cold cache — pay it on first morpho access
+    # (MorphoMnistDataset's constructor, not test_mnist.py's).
+    def _full(self, kind: str):
+        if kind not in self._morpho:
+            images, labels = self._arrays[kind]
+            self._morpho[kind] = self._load_or_measure_morpho(
+                kind, images, labels)
+        images, labels = self._arrays[kind]
+        return images, labels, self._morpho[kind]
+
+    @property
+    def _full_train(self):
+        return self._full("train")
+
+    @property
+    def _full_test(self):
+        return self._full("t10k")
 
     # -- loading ------------------------------------------------------------
 
@@ -86,23 +106,33 @@ class MnistDataset(SplitArrayDataset):
         images = idx_io.load_idx(img_p)
         images = np.expand_dims(images, 1).astype(np.float32) / 255.0
         labels = idx_io.load_idx(lab_p).astype(np.int64)
+        return images, labels
+
+    def _load_or_measure_morpho(self, kind: str, images, labels):
+        _, _, mor_p = self._paths(kind)
+        df = None
         if os.path.exists(mor_p):
             # a cached CSV measured from a different image set (e.g. the
             # synthetic pair replaced by real archives) must not load as
-            # misaligned labels
-            if len(pd.read_csv(mor_p)) != len(images):
+            # misaligned labels; parse ONCE and reuse
+            df = pd.read_csv(mor_p)
+            if len(df) != len(images):
                 print(f"morphometrics cache {mor_p} does not match the "
                       f"{len(images)}-image archive; re-measuring")
                 os.remove(mor_p)
-        if not os.path.exists(mor_p):
-            print(f"measuring morphometrics for {kind} ({len(images)} images)...")
-            morpho = _measure_images((images[:, 0] * 255).astype(np.uint8))
-            pd.DataFrame(
-                np.concatenate([labels[:, None].astype(np.float32), morpho], 1),
+                df = None
+        if df is None:
+            print(f"measuring morphometrics for {kind} "
+                  f"({len(images)} images)...")
+            measured = _measure_images((images[:, 0] * 255).astype(np.uint8))
+            df = pd.DataFrame(
+                np.concatenate(
+                    [labels[:, None].astype(np.float32), measured], 1),
                 columns=["digit_identity", "area", "length", "thickness",
                          "slant", "width", "height"],
-            ).to_csv(mor_p, index=False)
-        morpho = pd.read_csv(mor_p).values.astype(np.float32)
+            )
+            df.to_csv(mor_p, index=False)
+        morpho = df.values.astype(np.float32)
         # MNIST_REG_TYPES indexes morpho columns 1..6 with column 0 a
         # digit/index placeholder (the reference's Morpho-MNIST CSVs lead
         # with an index column). Normalize older 6-column caches.
@@ -110,7 +140,7 @@ class MnistDataset(SplitArrayDataset):
             morpho = np.concatenate(
                 [labels[:, None].astype(np.float32), morpho], 1
             )
-        return images, labels, morpho
+        return morpho
 
     def _generate_synthetic(self, kind: str):
         os.makedirs(self.root_dir, exist_ok=True)

@@ -33,6 +33,11 @@ class DevicePrefetcher:
         self.depth = depth
 
     def __len__(self) -> int:
+        # Upper bound: on a multi-chip data axis the producer drops a
+        # final partial batch smaller than the axis
+        # (shard_batch_truncated returns None), so iteration can yield
+        # one batch fewer than this. Callers count yielded batches
+        # themselves for metric denominators.
         return len(self.loader)
 
     def __iter__(self) -> Iterator[Any]:

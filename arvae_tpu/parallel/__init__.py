@@ -1,9 +1,7 @@
 from arvae_tpu.parallel.mesh import (
     MeshContext,
     create_mesh,
-    batch_sharding,
     masked_mean,
-    replicated_sharding,
     shard_batch,
     shard_batch_padded,
     shard_batch_truncated,
@@ -13,9 +11,7 @@ from arvae_tpu.parallel.mesh import (
 __all__ = [
     "MeshContext",
     "create_mesh",
-    "batch_sharding",
     "masked_mean",
-    "replicated_sharding",
     "shard_batch",
     "shard_batch_padded",
     "shard_batch_truncated",

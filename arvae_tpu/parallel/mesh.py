@@ -90,14 +90,6 @@ def create_mesh(
     return MeshContext(mesh=mesh)
 
 
-def batch_sharding(ctx: MeshContext) -> NamedSharding:
-    return ctx.batch
-
-
-def replicated_sharding(ctx: MeshContext) -> NamedSharding:
-    return ctx.replicated
-
-
 def shard_batch(ctx: MeshContext, batch: Any) -> Any:
     """Device-puts a host batch, sharding the leading axis over 'data'.
 

@@ -689,10 +689,14 @@ class ImageVAETrainer(BaseTrainer):
         state = self.ensure_state()
         fwd = self._forward_fn()
         if not hasattr(self, "_val_grid_inputs"):
-            if val_sp is not None and val_sp.n >= 16:
+            if val_sp is not None and val_sp.n > 0:
+                # a split smaller than 16 rows just yields a smaller grid
+                # (data_loader is None on the device path, so there is
+                # no host fallback to reach for)
+                k = min(16, val_sp.n)
                 imgs, _ = jax.jit(
                     lambda im, lb: val_sp.gather_batch(
-                        im, lb, jnp.arange(16, dtype=jnp.int32))
+                        im, lb, jnp.arange(k, dtype=jnp.int32))
                 )(val_sp.images, val_sp.labels)
                 self._val_grid_inputs = imgs
             else:

@@ -231,6 +231,7 @@ class TestMnistArchiveGuards:
         instead of loading misaligned labels."""
         m = self._tiny_synth(monkeypatch)
         ds = m.MnistDataset(root=str(tmp_path))
+        _ = ds._full_train  # morphometrics are measured lazily on access
         _, _, mor_p = ds._paths("train")
         import pandas as pd
 
@@ -256,3 +257,31 @@ class TestUndersizedModelGuard:
         )
         with pytest.raises(ValueError, match="smaller than the finalized"):
             MeasureVAETrainer(dataset=ds, model=model)
+
+
+class TestLazyMorpho:
+    def test_plain_mnist_skips_measurement(self, tmp_path, monkeypatch):
+        """The plain (image, digit) loaders never read the morpho
+        columns, so constructing MnistDataset must not pay the
+        process-pool measurement pass (minutes on a cold 60k cache)."""
+        import arvae_tpu.data.mnist as m
+
+        monkeypatch.setattr(m, "SYNTH_TRAIN", 24)
+        monkeypatch.setattr(m, "SYNTH_TEST", 8)
+
+        def boom(*a, **k):
+            raise AssertionError("morphometrics measured eagerly")
+
+        monkeypatch.setattr(m, "_measure_images", boom)
+        ds = m.MnistDataset(root=str(tmp_path))
+        tr, _, _ = ds.data_loaders(8)
+        batch = next(iter(tr))
+        assert len(batch) == 2  # (image, digit) only
+        # first morpho access DOES measure
+        import numpy as np
+
+        monkeypatch.setattr(
+            m, "_measure_images",
+            lambda imgs: np.zeros((len(imgs), 6), np.float32))
+        imgs, labels, morpho = ds._full_train
+        assert morpho.shape == (len(imgs), 7)
