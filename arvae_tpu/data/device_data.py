@@ -297,7 +297,10 @@ class DeviceEpochRunner:
         sp = self.train_split
         steps = sp.num_batches(self.batch_size)
         perm = jax.random.permutation(
-            jax.random.fold_in(self._base_key, 500_000 + epoch_num), sp.n
+            # own fold_in domain: 500_000+epoch landed inside the chunk
+            # keys' (epoch+1)*100003 + 2i range, so some epochs' shuffle
+            # keys equalled other epochs' dropout/sample keys
+            jax.random.fold_in(self._base_key, (1 << 30) + epoch_num), sp.n
         ).astype(jnp.int32)
         totals, first_metrics = None, None
         i = 0
