@@ -440,6 +440,21 @@ class BaseTrainer(abc.ABC):
             jax.tree_util.tree_map(jnp.asarray, restored), self.mesh.replicated
         )
 
+    def maybe_resume(self) -> bool:
+        """Restores the run's checkpoint if one exists (full train
+        state: params, opt_state, step — exceeds the reference's
+        save-only surface). Returns whether training will resume;
+        ``train_model`` then continues the optimizer trajectory from
+        the restored step."""
+        ckpt = Checkpointer(self.run_dir)
+        if not ckpt.exists():
+            print(f"no checkpoint under {self.run_dir}; training fresh")
+            return False
+        self.load_model()
+        print(f"resumed from {self.run_dir} at step "
+              f"{int(self.state.step)}")
+        return True
+
     @staticmethod
     def print_epoch_stats(
         epoch_index,

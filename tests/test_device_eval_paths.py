@@ -137,6 +137,28 @@ class TestLoggedTrainingZeroHostBatches:
         assert tr._device_runner is not None
 
 
+class TestResume:
+    def test_maybe_resume_continues_step_count(self, dsprites, models_dir):
+        """The CLIs' --resume surface: a fresh trainer restores the full
+        train state (params, optimizer state, step) and continues the
+        trajectory instead of restarting at step 0."""
+        tr = make_trainer(dsprites)
+        tr.train_model(batch_size=32, num_epochs=1, log=False)
+        steps_per_epoch = int(tr.state.step)
+        assert steps_per_epoch > 0
+
+        tr2 = make_trainer(dsprites)
+        assert tr2.maybe_resume()
+        assert int(tr2.state.step) == steps_per_epoch
+        tr2.train_model(batch_size=32, num_epochs=1, log=False)
+        assert int(tr2.state.step) == 2 * steps_per_epoch
+
+    def test_maybe_resume_without_checkpoint_trains_fresh(self, dsprites,
+                                                          models_dir):
+        tr = make_trainer(dsprites, rand=7)
+        assert not tr.maybe_resume()
+
+
 class TestFaderDeviceDataPath:
     def test_fader_trains_on_device_runner(self, dsprites, models_dir):
         from arvae_tpu.models.image_fader import DspritesFaderNetwork

@@ -31,11 +31,15 @@ from arvae_tpu.training.fader_trainer import ImageFaderTrainer
               help="train or test the specified model")
 @click.option("--log/--no_log", default=False,
               help="log the results for tensorboard")
+@click.option("--resume/--no_resume", default=False,
+              help="restore the run's checkpoint (params, optimizer "
+                   "state, step) before training, continuing the "
+                   "trajectory")
 @click.option("--rand", default=0, help="random seed")
 @click.option("--short/--full", default=False,
               help="use a reduced dSprites factor grid for quick runs")
-def main(dataset_type, batch_size, num_epochs, lr, beta, do_train, log, rand,
-         short):
+def main(dataset_type, batch_size, num_epochs, lr, beta, do_train, log,
+         resume, rand, short):
     if dataset_type == "mnist":
         dataset = MorphoMnistDataset()
         model = MnistFaderNetwork()
@@ -56,6 +60,8 @@ def main(dataset_type, batch_size, num_epochs, lr, beta, do_train, log, rand,
         rand=int(rand),
     )
 
+    if resume:
+        trainer.maybe_resume()
     if do_train:
         trainer.train_model(batch_size=batch_size, num_epochs=num_epochs,
                             log=log)

@@ -38,6 +38,10 @@ from arvae_tpu.training.image_trainer import (
               help="train or test the specified model")
 @click.option("--log/--no_log", default=False,
               help="log the results for tensorboard")
+@click.option("--resume/--no_resume", default=False,
+              help="restore the run's checkpoint (params, optimizer "
+                   "state, step) before training, continuing the "
+                   "trajectory")
 @click.option("--rand", default=None,
               help="random seed for the random number generator")
 @click.option("--reg_type", "-r", default=None, multiple=True,
@@ -61,6 +65,7 @@ def main(
     dec_dist,
     do_train,
     log,
+    resume,
     rand,
     reg_type,
     short,
@@ -113,6 +118,8 @@ def main(
             use_pallas=use_pallas,
         )
 
+        if resume:
+            trainer.maybe_resume()
         if do_train:
             trainer.train_model(
                 batch_size=batch_size, num_epochs=num_epochs, log=log

@@ -55,6 +55,10 @@ from arvae_tpu.training.measure_trainer import MeasureVAETrainer
               help="train or test the specified model")
 @click.option("--log/--no_log", default=False,
               help="log the results for tensorboard")
+@click.option("--resume/--no_resume", default=False,
+              help="restore the run's checkpoint (params, optimizer "
+                   "state, step) before training, continuing the "
+                   "trajectory")
 @click.option("--rand", default=None, help="random seed")
 @click.option("--reg_type", "-r", default=None, multiple=True,
               help="attribute name(s) used for regularization")
@@ -90,6 +94,7 @@ def main(
     delta,
     do_train,
     log,
+    resume,
     rand,
     reg_type,
     short,
@@ -197,6 +202,8 @@ def main(
         # results cache from this instead of re-deriving the naming.
         print("run_dir:", trainer.run_dir, flush=True)
 
+        if resume:
+            trainer.maybe_resume()
         if do_train:
             trainer.train_model(batch_size=batch_size, num_epochs=num_epochs,
                                 log=log)
