@@ -143,26 +143,44 @@ def _fused_tick_chain(seq_len, train, dropout, ticks_per_beat, sampling,
     """Invokes the fused feedback-loop kernel
     (ops/hier_decoder_pallas.hier_tick_chain) with the operand layout
     both autoregressive decoders share — ONE call site for the
-    16-operand signature and the seed derivation. Returns
-    (weights (B, T, V), samples (B, T))."""
+    16-operand signature and the seed derivation. Batches past the
+    kernel's VMEM guard run as ``fused_slices`` independent batch
+    slices (sequential kernel calls, still ~2.3× the scan fallback at
+    B=2048 on v5e). Returns (weights (B, T, V), samples (B, T))."""
+    from arvae_tpu.ops.hier_decoder_pallas import fused_slices
     from arvae_tpu.ops.hier_decoder_pallas import hier_tick_chain
 
-    E = x0.shape[1]
-    seed = jax.random.randint(
-        jax.random.fold_in(k_drop, 424243), (), 0, 2**31 - 1,
-        dtype=jnp.int32,
-    )
-    weights_t, samples_t = hier_tick_chain(
-        seq_len, bool(train), float(dropout) if train else 0.0,
-        ticks_per_beat, sampling,
-        jnp.asarray(teacher_forced, jnp.int32), seed,
-        jnp.transpose(score).astype(jnp.int32),
-        gi_beat, tick_h0, x0, embedding, w_ih0[:E],
-        gru[0]["w_hh"], gru[0]["b_hh"],
-        gru[1]["w_ih"], gru[1]["b_ih"],
-        gru[1]["w_hh"], gru[1]["b_hh"],
-        out_w, out_b,
-    )
+    B, E = x0.shape
+    H = tick_h0.shape[-1]
+    score_t = jnp.transpose(score).astype(jnp.int32)  # (T, B)
+    slices = fused_slices(B, H, tick_h0.shape[1], embedding.shape[0],
+                          seq_len, sampling)
+    bs = B // slices
+    w_parts, s_parts = [], []
+    for i in range(slices):
+        # per-slice seed: slices must not replay identical dropout /
+        # Gumbel streams (they would at a shared seed, since the
+        # in-kernel PRNG is seeded per (seed, t) only)
+        seed = jax.random.randint(
+            jax.random.fold_in(k_drop, 424243 + i), (), 0, 2**31 - 1,
+            dtype=jnp.int32,
+        )
+        sl = slice(i * bs, (i + 1) * bs)
+        weights_t, samples_t = hier_tick_chain(
+            seq_len, bool(train), float(dropout) if train else 0.0,
+            ticks_per_beat, sampling,
+            jnp.asarray(teacher_forced, jnp.int32), seed,
+            score_t[:, sl],
+            gi_beat[:, sl], tick_h0[:, :, sl], x0[sl], embedding, w_ih0[:E],
+            gru[0]["w_hh"], gru[0]["b_hh"],
+            gru[1]["w_ih"], gru[1]["b_ih"],
+            gru[1]["w_hh"], gru[1]["b_hh"],
+            out_w, out_b,
+        )
+        w_parts.append(weights_t)
+        s_parts.append(samples_t)
+    weights_t = w_parts[0] if slices == 1 else jnp.concatenate(w_parts, 1)
+    samples_t = s_parts[0] if slices == 1 else jnp.concatenate(s_parts, 1)
     return (
         jnp.transpose(weights_t, (1, 0, 2)),
         jnp.transpose(samples_t, (1, 0)),

@@ -11,8 +11,10 @@ per-step tensors (logits, samples, saved hiddens) stream block by
 block, and the per-beat conditioning (``gi_beat``/``tick_h0`` and their
 grad accumulators) streams per beat via block index maps — so VMEM
 usage is O(B·(V+H) + H²) independent of T. At the folk protocol scale
-(H=128, V=130) batches up to 1024 stay fused (measured on v5e; B=2048
-exceeds VMEM — see ``supports``); larger hidden sizes are bounded by
+(H=128, V=130) batches up to 1024 stay fused in one call (measured on
+v5e; B=2048 exceeds VMEM — see ``supports``) and larger batches run the
+kernel over independent batch slices (``fused_slices``, wired up in
+models/measure_vae._fused_tick_chain); larger hidden sizes are bounded by
 the pinned 9H² weight+grad residents. The embedding lookup of the sampled
 token is a one-hot (B,V)@(V,E) matmul — an MXU gather; argmax is
 max+iota-min (``jnp.argmax`` fails this backend's Mosaic remote
@@ -79,16 +81,42 @@ def supports(batch: int, hidden: int, num_layers: int, num_notes: int,
         batch * (4 * num_notes + 16 * hidden)
         + 2 * (9 * hidden * hidden + hidden * num_notes)
     )
-    return vmem < 15 * 1024 * 1024
+    if vmem >= 15 * 1024 * 1024:
+        return False
+    cap = int(os.environ.get("ARVAE_FUSED_MAX_BATCH", "0"))
+    return not (cap and batch > cap)
+
+
+def fused_slices(batch: int, hidden: int, num_layers: int, num_notes: int,
+                 seq_len: int, sampling: str) -> int:
+    """Number of equal batch slices the fused kernel should run over.
+
+    1 means the whole batch fits the VMEM guard directly. For larger
+    batches the rows are independent, so the caller can run the kernel
+    sequentially over ``s`` slices of ``batch // s`` rows each — still
+    ~2.3× the XLA-scan fallback at B=2048 (measured v5e) because each
+    slice keeps the whole feedback loop fused. Returns 0 if no
+    power-of-two slicing reaches a supported slice shape (then the
+    caller must fall back to the scan). ``ARVAE_FUSED_MAX_BATCH`` caps
+    the slice size (measurement knob)."""
+    s = 1
+    while batch % s == 0 and batch // s >= 8:
+        if supports(batch // s, hidden, num_layers, num_notes, seq_len,
+                    sampling):
+            return s
+        s *= 2
+    return 0
 
 
 def enabled(batch: int, hidden: int, num_layers: int, num_notes: int,
             seq_len: int, sampling: str) -> bool:
-    """Route the tick loop through the fused kernel? Same env switches
-    as the GRU chain kernel (ops/gru.py)."""
+    """Route the tick loop through the fused kernel (possibly batch-
+    sliced — see ``fused_slices``)? Same env switches as the GRU chain
+    kernel (ops/gru.py)."""
     if os.environ.get("ARVAE_NO_GRU_PALLAS"):
         return False
-    if not supports(batch, hidden, num_layers, num_notes, seq_len, sampling):
+    if not fused_slices(batch, hidden, num_layers, num_notes, seq_len,
+                        sampling):
         return False
     if os.environ.get("ARVAE_FORCE_GRU_PALLAS"):
         return True

@@ -38,29 +38,42 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1024)
     ap.add_argument("--batches", default="256,512,1024,2048")
+    ap.add_argument("--ablate", default="none", choices=["none", "noreg"],
+                    help="noreg drops the O(B^2) pairwise AR-reg term — "
+                    "isolates whether the per-sample dip at large B is "
+                    "the quadratic reg cost")
+    ap.add_argument("--fused-only", action="store_true")
     args = ap.parse_args()
 
-    for fused in (True, False):
+    for fused in ((True,) if args.fused_only else (True, False)):
         os.environ.pop("ARVAE_NO_GRU_PALLAS", None)
         if not fused:
             os.environ["ARVAE_NO_GRU_PALLAS"] = "1"
         for b in [int(x) for x in args.batches.split(",")]:
             active = hier_decoder_pallas.enabled(
                 b, HIDDEN, LAYERS, bmv.VOCAB_SIZE, MEASURE_SEQ_LEN, "argmax")
+            slices = hier_decoder_pallas.fused_slices(
+                b, HIDDEN, LAYERS, bmv.VOCAB_SIZE, MEASURE_SEQ_LEN, "argmax")
             try:
-                sps = bmv.measure("hier", batch=b, measure_steps=args.steps)
+                sps = bmv.measure("hier", batch=b, measure_steps=args.steps,
+                                  ablate=args.ablate)
                 print(json.dumps({
                     "batch": b,
                     "fused_requested": fused,
                     "fused_active": active,
+                    "fused_slices": slices if (fused and active) else 0,
+                    "ablate": args.ablate,
                     "steps_per_sec": round(sps, 2),
                     "samples_per_sec": round(sps * b, 0),
                 }), flush=True)
             except Exception as e:
+                import sys as _sys
+                import traceback
+                traceback.print_exc(file=_sys.stderr)
                 print(json.dumps({
                     "batch": b, "fused_requested": fused,
                     "fused_active": active,
-                    "error": repr(e)[:200],
+                    "error": repr(e)[:2000],
                 }), flush=True)
 
 

@@ -27,13 +27,16 @@ Run on the real TPU: python scripts/bench_launch_merge.py
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from arvae_tpu.ops.gru_pallas import gru_chain
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from arvae_tpu.ops.gru_pallas import gru_chain  # noqa: E402
 
 T, D, H = 24, 2, 128
 B = int(os.environ.get("MERGE_BENCH_B", "256"))

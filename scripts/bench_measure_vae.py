@@ -73,7 +73,10 @@ def measure(decoder_type: str = "hier", batch: int = BATCH,
     reg_pairs = tuple((d, d) for d in range(4))
 
     rng = np.random.RandomState(0)
-    scores_np = rng.randint(0, VOCAB_SIZE, (N_ROWS, MEASURE_SEQ_LEN)
+    # corpus must hold at least one K-step chunk at this batch size
+    # (B=4096 × K=32 exceeds the 65k default)
+    n_rows = max(N_ROWS, batch * 32)
+    scores_np = rng.randint(0, VOCAB_SIZE, (n_rows, MEASURE_SEQ_LEN)
                             ).astype(np.int32)
     scores = jax.device_put(scores_np, ctx.replicated)
 
@@ -123,16 +126,16 @@ def measure(decoder_type: str = "hier", batch: int = BATCH,
     params = jax.device_put(params, ctx.replicated)
     opt_state = jax.device_put(optimizer.init(params), ctx.replicated)
     state = (params, opt_state)
-    perm = jax.random.permutation(jax.random.key(1), N_ROWS).astype(jnp.int32)
+    perm = jax.random.permutation(jax.random.key(1), n_rows).astype(jnp.int32)
 
     # i0 is a STEP index (the scan slices at (i0 + k) * batch); keep it
     # K-aligned and inside the permutation so successive chunks cover
     # disjoint batch windows with no clamped out-of-range slices.
-    n_chunk_starts = (N_ROWS // batch // K) * K
+    n_chunk_starts = (n_rows // batch // K) * K
     if n_chunk_starts == 0:
         raise ValueError(
-            f"batch={batch} too large: the {N_ROWS}-row corpus holds "
-            f"fewer than one K={K} step chunk ({N_ROWS // batch} batches)"
+            f"batch={batch} too large: the {n_rows}-row corpus holds "
+            f"fewer than one K={K} step chunk ({n_rows // batch} batches)"
         )
 
     i = 0

@@ -200,6 +200,88 @@ def test_fused_kernels_under_data_parallel_sharding(model_and_params,
     )
 
 
+class TestBatchSlicedFused:
+    """Batches past the VMEM guard run the kernel over independent
+    batch slices (ops/hier_decoder_pallas.fused_slices) instead of
+    falling back to the XLA scan."""
+
+    def test_slice_policy(self):
+        from arvae_tpu.ops.hier_decoder_pallas import fused_slices, supports
+
+        # H=128/V=130: B=1024 fits directly (~11.8 MB), B=2048 does not
+        # (~21.5 MB) — the calibrated VMEM model in `supports`
+        assert supports(1024, 128, 2, 130, 24, "argmax")
+        assert not supports(2048, 128, 2, 130, 24, "argmax")
+        assert fused_slices(1024, 128, 2, 130, 24, "argmax") == 1
+        assert fused_slices(2048, 128, 2, 130, 24, "argmax") == 2
+        assert fused_slices(4096, 128, 2, 130, 24, "argmax") == 4
+        # unsupported regardless of slicing: wrong layer count, and odd
+        # batches that never reach a %8 slice
+        assert fused_slices(2048, 128, 3, 130, 24, "argmax") == 0
+        assert fused_slices(12, 128, 2, 130, 24, "argmax") == 0
+
+    def test_slice_cap_env(self, monkeypatch):
+        from arvae_tpu.ops.hier_decoder_pallas import fused_slices
+
+        monkeypatch.setenv("ARVAE_FUSED_MAX_BATCH", "256")
+        assert fused_slices(1024, 128, 2, 130, 24, "argmax") == 4
+
+    @pytest.mark.parametrize("decoder_type", ["hier", "sr"])
+    def test_sliced_matches_scan(self, model_and_params, monkeypatch,
+                                 decoder_type):
+        """B=16 capped at 8-row slices: the 2-slice fused path must equal
+        the scan path bit-for-bit (dropout 0, argmax — the only
+        per-slice-seed consumers are off)."""
+        if decoder_type == "hier":
+            model, params = model_and_params
+        else:
+            model = MeasureVAE(
+                num_notes=V, encoder_hidden_size=128,
+                decoder_hidden_size=H, latent_space_dim=32,
+                encoder_dropout_prob=0.0, decoder_dropout_prob=0.0,
+                decoder_type="sr",
+            )
+            params = model.init(
+                {"params": jax.random.key(0), "sample": jax.random.key(1),
+                 "dropout": jax.random.key(2)},
+                jnp.zeros((1, MEASURE_SEQ_LEN), jnp.int32), train=True,
+            )["params"]
+        rng = np.random.RandomState(17)
+        score = jnp.asarray(rng.randint(0, V, (16, MEASURE_SEQ_LEN)),
+                            jnp.int32)
+        key = jax.random.key(23)
+
+        def loss(p, fused):
+            if fused:
+                monkeypatch.delenv("ARVAE_NO_GRU_PALLAS", raising=False)
+                monkeypatch.setenv("ARVAE_FORCE_GRU_PALLAS", "1")
+                monkeypatch.setenv("ARVAE_FUSED_MAX_BATCH", "8")
+            else:
+                monkeypatch.delenv("ARVAE_FORCE_GRU_PALLAS", raising=False)
+                monkeypatch.delenv("ARVAE_FUSED_MAX_BATCH", raising=False)
+                monkeypatch.setenv("ARVAE_NO_GRU_PALLAS", "1")
+            out = model.apply({"params": p}, score, train=True, rng_key=key)
+            return (token_cross_entropy_loss(out.weights, score)
+                    + jnp.mean(out.z_mean ** 2))
+
+        from arvae_tpu.ops.hier_decoder_pallas import fused_slices
+        monkeypatch.setenv("ARVAE_FUSED_MAX_BATCH", "8")
+        assert fused_slices(16, H, 2, V, MEASURE_SEQ_LEN, "argmax") == 2
+
+        v_ref, g_ref = jax.value_and_grad(lambda p: loss(p, False))(params)
+        v_k, g_k = jax.value_and_grad(lambda p: loss(p, True))(params)
+        np.testing.assert_allclose(float(v_k), float(v_ref), rtol=1e-5)
+        ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        kk = dict((jax.tree_util.keystr(kp), leaf)
+                  for kp, leaf in jax.tree_util.tree_leaves_with_path(g_k))
+        for kp, leaf_ref in ref:
+            name = jax.tree_util.keystr(kp)
+            np.testing.assert_allclose(
+                np.asarray(kk[name]), np.asarray(leaf_ref),
+                rtol=2e-4, atol=1e-6, err_msg=name,
+            )
+
+
 class TestMultinomialSampling:
     """Gumbel-max multinomial in the fused kernel (same distribution as
     jax.random.categorical over the same logits)."""
