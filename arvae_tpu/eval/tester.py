@@ -358,14 +358,20 @@ class VAETesterGLSR(VAETester):
         model,
         reg_type: str = "rhy_complexity",
         reg_dim: int = 0,
+        gamma: float = 1.0,
         rand: int = 0,
         plots_dir: Optional[str] = None,
         load: bool = True,
     ):
         from arvae_tpu.training.glsr_trainer import MeasureVAETrainerGLSR
 
+        # gamma selects the run dir (the trainer_config string carries
+        # g_<gamma>); the blessed non-degenerate GLSR run uses a gamma
+        # scaled so the N(100,1) prior term is commensurate with recon
+        # CE — see scripts/glsr_gamma_sweep.py and RESULTS.md
         trainer = MeasureVAETrainerGLSR(
-            dataset, model, reg_type=reg_type, reg_dim=reg_dim, rand=rand
+            dataset, model, reg_type=reg_type, reg_dim=reg_dim,
+            gamma=gamma, rand=rand,
         )
         assert trainer.model_repr().endswith("GLSR")
         if load:

@@ -95,9 +95,11 @@ def main():
             num_decoder_layers=2, decoder_hidden_size=128,
         )
         out = os.path.join(REPO, "figs", "tester_folk_glsr")
+        # gamma=1e-3: the blessed non-degenerate GLSR run (gamma sweep,
+        # logs/r4/glsr_sweep.log — best interpretability at 69.6% acc)
         tester = VAETesterGLSR(
             dataset, model, reg_type="rhy_complexity",
-            reg_dim=MUSIC_REG_TYPE["rhy_complexity"], rand=0,
+            reg_dim=MUSIC_REG_TYPE["rhy_complexity"], gamma=1e-3, rand=0,
             plots_dir=out,
         )
         run_surface(tester, "glsr")
