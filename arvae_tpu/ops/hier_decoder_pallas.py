@@ -81,10 +81,17 @@ def supports(batch: int, hidden: int, num_layers: int, num_notes: int,
         batch * (4 * num_notes + 16 * hidden)
         + 2 * (9 * hidden * hidden + hidden * num_notes)
     )
-    if vmem >= 15 * 1024 * 1024:
-        return False
-    cap = int(os.environ.get("ARVAE_FUSED_MAX_BATCH", "0"))
-    return not (cap and batch > cap)
+    return vmem < 15 * 1024 * 1024
+
+
+def _slice_cap() -> int:
+    """ARVAE_FUSED_MAX_BATCH: cap on the per-slice batch (measurement
+    knob for the sliced fused path). Malformed values read as unset —
+    other ARVAE_* switches are truthiness-only and tolerate anything."""
+    try:
+        return int(os.environ.get("ARVAE_FUSED_MAX_BATCH", "0"))
+    except ValueError:
+        return 0
 
 
 def fused_slices(batch: int, hidden: int, num_layers: int, num_notes: int,
@@ -98,11 +105,14 @@ def fused_slices(batch: int, hidden: int, num_layers: int, num_notes: int,
     slice keeps the whole feedback loop fused. Returns 0 if no
     power-of-two slicing reaches a supported slice shape (then the
     caller must fall back to the scan). ``ARVAE_FUSED_MAX_BATCH`` caps
-    the slice size (measurement knob)."""
+    the slice size (measurement knob; policy lives here so ``supports``
+    stays a pure hardware-capability predicate)."""
+    cap = _slice_cap()
     s = 1
     while batch % s == 0 and batch // s >= 8:
-        if supports(batch // s, hidden, num_layers, num_notes, seq_len,
-                    sampling):
+        if (not (cap and batch // s > cap)) and supports(
+                batch // s, hidden, num_layers, num_notes, seq_len,
+                sampling):
             return s
         s *= 2
     return 0

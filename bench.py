@@ -31,7 +31,7 @@ WARMUP_STEPS = 512
 MEASURE_STEPS = 8192
 
 
-def measure_ours() -> "tuple[float, float]":
+def measure_ours(bf16: bool = False) -> "tuple[float, float]":
     import jax
     import jax.numpy as jnp
     import optax
@@ -47,7 +47,10 @@ def measure_ours() -> "tuple[float, float]":
     from arvae_tpu.parallel import create_mesh
 
     ctx = create_mesh()
-    model = DspritesVAE()
+    # bf16 runs the conv/dense stacks in the MXU-native dtype (params
+    # and the loss heads stay f32 — the models' own mixed-precision
+    # policy, same as the CLIs' --bf16)
+    model = DspritesVAE(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
     reg_pairs = tuple((d, d) for d in (1, 2, 3, 4, 5))
     optimizer = optax.adam(1e-4)
 

@@ -72,10 +72,12 @@ def measure(decoder_type: str = "hier", batch: int = BATCH,
     optimizer = optax.adam(1e-4)
     reg_pairs = tuple((d, d) for d in range(4))
 
+    K = 32  # steps per dispatch chunk (matches data/device_data.py)
+
     rng = np.random.RandomState(0)
     # corpus must hold at least one K-step chunk at this batch size
     # (B=4096 × K=32 exceeds the 65k default)
-    n_rows = max(N_ROWS, batch * 32)
+    n_rows = max(N_ROWS, batch * K)
     scores_np = rng.randint(0, VOCAB_SIZE, (n_rows, MEASURE_SEQ_LEN)
                             ).astype(np.int32)
     scores = jax.device_put(scores_np, ctx.replicated)
@@ -106,8 +108,6 @@ def measure(decoder_type: str = "hier", batch: int = BATCH,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), {"loss": loss, "accuracy": acc}
-
-    K = 32
 
     @jax.jit
     def chunk(state, scores, perm, i0, key):
