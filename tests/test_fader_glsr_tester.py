@@ -179,3 +179,21 @@ class TestVAETesterGLSR:
         )
         dim, score = tester.test_interpretability(32, "rhy_complexity")
         assert 0 <= dim < 16 and np.isfinite(score)
+
+    def test_gamma_selects_run_dir(self, folk, tmp_path, monkeypatch):
+        """gamma is part of the trainer_config string, so the tester's
+        gamma kwarg must select the matching run dir (the blessed
+        non-degenerate GLSR run trains at gamma=1e-3, not the
+        reference's 1.0)."""
+        monkeypatch.setenv("ARVAE_MODELS_DIR", str(tmp_path / "models"))
+        from arvae_tpu.eval.tester import VAETesterGLSR
+
+        model = MeasureVAE(num_notes=len(folk.note2index_dicts),
+                           encoder_hidden_size=32, decoder_hidden_size=32,
+                           latent_space_dim=16)
+        tester = VAETesterGLSR(folk, model, reg_type="rhy_complexity",
+                               reg_dim=0, gamma=1e-3, rand=0,
+                               plots_dir=str(tmp_path / "plots"),
+                               load=False)
+        assert "_g_0.001_" in tester.trainer.model_repr()
+        assert tester.trainer.model_repr().endswith("GLSR")
