@@ -1,0 +1,61 @@
+#!/bin/bash
+# Round-4 TPU work queue, part 4 — restore the live metric caches the
+# machine reset wiped (models/ is host-local): re-run the blessed
+# protocols through the CURRENT code so `script_create_result_plots.py`
+# regenerates from live caches again and the r3-blessed tables are
+# re-validated end-to-end. Ordered by value/cost; every stage is
+# deadline-guarded (the driver's end-of-round bench must find the TPU
+# free).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p logs/r4
+
+DEADLINE=${R4_TPU_DEADLINE:-1787081000}
+
+fits() {
+  local need=$1
+  if [ $(( $(date +%s) + need )) -ge "$DEADLINE" ]; then
+    echo "-- skipping (deadline): needs ${need}s --"
+    return 1
+  fi
+  return 0
+}
+
+echo "== 1. dSprites protocol (2 configs x 10 seeds x 15 epochs) =="
+fits 2700 && timeout -k 60 2700 python train_image_vae.py -d dsprites \
+  -r all --beta 1.0 --num_epochs 15 2>&1 | tail -3
+fits 2700 && timeout -k 60 2700 python train_image_vae.py -d dsprites \
+  --beta 4.0 --num_epochs 15 2>&1 | tail -3
+
+echo "== 2. folk protocol (2 configs x 10 seeds x 30 epochs) =="
+fits 2700 && timeout -k 60 2700 python train_measure_vae.py -r all \
+  2>&1 | tail -3
+fits 2700 && timeout -k 60 2700 python train_measure_vae.py 2>&1 | tail -3
+
+echo "== 3. chorales protocol (2 configs x 10 seeds x 30 epochs) =="
+fits 2700 && timeout -k 60 2700 python train_measure_vae.py -d bach \
+  -r all 2>&1 | tail -3
+fits 2700 && timeout -k 60 2700 python train_measure_vae.py -d bach \
+  2>&1 | tail -3
+
+echo "== 4. blessed seed-0 music variants (10 epochs each) =="
+for args in "--decoder_type sr" "--decoder_type sr-no-input" \
+            "--sampling multinomial"; do
+  fits 1200 && timeout -k 60 1200 python train_measure_vae.py --rand 0 \
+    -r all --num_epochs 10 $args 2>&1 | tail -3
+done
+
+echo "== 5. Morpho-MNIST protocol (2 configs x 10 seeds x 100 epochs) =="
+fits 7200 && timeout -k 60 7200 python train_image_vae.py -d mnist \
+  -r all --beta 1.0 --num_epochs 100 2>&1 | tail -3
+fits 7200 && timeout -k 60 7200 python train_image_vae.py -d mnist \
+  --beta 4.0 --num_epochs 100 2>&1 | tail -3
+
+echo "== 6. gamma x delta sweep grid (hyper-as-data) =="
+fits 5400 && timeout -k 60 5400 python script_hyper_param_exp.py -d mnist \
+  2>&1 | tail -3
+
+echo "== 7. regenerate the paper plots from the restored caches =="
+timeout -k 60 1200 python script_create_result_plots.py 2>&1 | tail -5
+
+echo "== queue part 4 complete =="
