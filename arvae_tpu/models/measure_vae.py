@@ -101,7 +101,11 @@ class Encoder(nn.Module):
         dropout_rng: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         batch = score.shape[0]
-        embedded = jnp.take(self.embedding, score, axis=0)  # (B, T, E)
+        # mode="clip": an out-of-range token id (corrupt score) clamps
+        # to the last table row instead of jit's NaN fill — the same
+        # semantics as the fused decoder kernel's one-hot clamp
+        embedded = jnp.take(self.embedding, score, axis=0,
+                            mode="clip")  # (B, T, E)
         h0 = jnp.zeros(
             (self.num_layers * 2, batch, self.rnn_hidden_size), jnp.float32
         )
@@ -288,7 +292,9 @@ class SRDecoder(nn.Module):
                 sampled = jnp.argmax(logits, axis=-1)
             next_tok = jnp.where(teacher_forced, score[:, t], sampled)
             next_tok = jax.lax.stop_gradient(next_tok.astype(jnp.int32))
-            prev_emb = jnp.take(self.embedding, next_tok, axis=0)
+            # clamp like the fused kernel (jit's default is NaN fill)
+            prev_emb = jnp.take(self.embedding, next_tok, axis=0,
+                                mode="clip")
             return (h, prev_emb), (logits, next_tok)
 
         h_init = jnp.zeros((L, B, H), jnp.float32)
@@ -493,7 +499,9 @@ class HierarchicalDecoder(nn.Module):
             teacher_tok = score[:, t]
             next_tok = jnp.where(teacher_forced, teacher_tok, sampled)
             next_tok = jax.lax.stop_gradient(next_tok.astype(jnp.int32))
-            prev_emb = jnp.take(self.embedding, next_tok, axis=0)
+            # clamp like the fused kernel (jit's default is NaN fill)
+            prev_emb = jnp.take(self.embedding, next_tok, axis=0,
+                                mode="clip")
             return (h, prev_emb), (logits, next_tok)
 
         h_init = jnp.zeros((L, B, H), jnp.float32)

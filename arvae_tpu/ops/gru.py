@@ -43,10 +43,11 @@ def _use_fused_chain(batch: int, hidden: int,
     way at B=256, so the default stays 1)."""
     if os.environ.get("ARVAE_NO_GRU_PALLAS"):
         return False
-    if seq_len is not None and seq_len < int(
-            os.environ.get("ARVAE_GRU_PALLAS_MIN_T", "1")):
+    from arvae_tpu.ops.gru_pallas import env_int, supports_shapes
+
+    if seq_len is not None and seq_len < env_int(
+            "ARVAE_GRU_PALLAS_MIN_T", 1):
         return False
-    from arvae_tpu.ops.gru_pallas import supports_shapes
 
     if not supports_shapes(batch, hidden, n_dirs):
         return False

@@ -38,6 +38,7 @@ callers fall back to the XLA scan for shapes the TPU tiling cannot take
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def env_int(name: str, default: int) -> int:
+    """Integer ARVAE_* tuning knob; malformed values read as the default
+    (the other ARVAE_* switches are truthiness-only and tolerate
+    anything — a typo must not explode mid-trace)."""
+    try:
+        return int(os.environ.get(name, str(default)))
+    except ValueError:
+        return default
 
 
 _VMEM_BUDGET_BYTES = 15 * 1024 * 1024
@@ -79,6 +90,27 @@ def _gates(gi_d, gh_d):
     z = jax.nn.sigmoid(i_z + h_z)
     n = jnp.tanh(i_n + r * h_n)
     return r, z, n, h_n
+
+
+def _gru_bwd(dh, r, z, n, h_n, h_prev, w_hh):
+    """Backward through one GRU cell given gates recomputed by
+    :func:`_gates`. Returns (dgi (B,3H), dgh (B,3H), dh_prev (B,H)).
+    The single copy of the torch-exact backward derivation — shared by
+    this module's chain kernel and the hier tick-decoder kernel."""
+    dn = dh * (1.0 - z)
+    dz = dh * (h_prev - n)
+    da_n = dn * (1.0 - n * n)
+    dr = da_n * h_n
+    dgh_n = da_n * r
+    da_z = dz * z * (1.0 - z)
+    da_r = dr * r * (1.0 - r)
+    dgi = jnp.concatenate([da_r, da_z, da_n], axis=-1)
+    dgh = jnp.concatenate([da_r, da_z, dgh_n], axis=-1)
+    dh_prev = dh * z + jax.lax.dot_general(
+        dgh, w_hh, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dgi, dgh, dh_prev
 
 
 # ---------------------------------------------------------------------------
@@ -157,23 +189,11 @@ def _bwd_kernel(w_hh_ref, b_hh_ref, h0_ref, houts_ref, gi_ref, dout_ref,
         r, z, n, h_n = _gates(gi_ref[0, d], gh)
 
         dh = dout_ref[0, d] + dh_scr[d]
-        dn = dh * (1.0 - z)
-        dz = dh * (h_prev - n)
-        da_n = dn * (1.0 - n * n)
-        dr = da_n * h_n
-        dgh_n = da_n * r
-        da_z = dz * z * (1.0 - z)
-        da_r = dr * r * (1.0 - r)
-
-        dgi = jnp.concatenate([da_r, da_z, da_n], axis=-1)  # (B, 3H)
-        dgh = jnp.concatenate([da_r, da_z, dgh_n], axis=-1)
+        # dgi/dgh (B, 3H); dh_{t-1} = z*dh + dgh @ w_hh^T
+        dgi, dgh, dh_prev_grad = _gru_bwd(dh, r, z, n, h_n, h_prev,
+                                          w_hh_ref[d])
         dgi_ref[0, d] = dgi
-        # dh_{t-1} = z*dh + dgh @ w_hh^T
-        dh_scr[d] = dh * z + jax.lax.dot_general(
-            dgh, w_hh_ref[d],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dh_scr[d] = dh_prev_grad
         # dW_hh += h_{t-1}^T @ dgh ; db_hh += sum_B dgh
         dw_scr[d] += jax.lax.dot_general(
             h_prev, dgh,

@@ -55,10 +55,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# torch-exact gate math and the backend check are shared with the GRU
-# chain kernel — one copy of each invariant
+# torch-exact gate math (fwd AND bwd), the backend check, the VMEM
+# budget, and the env-knob parser are shared with the GRU chain kernel
+# — one copy of each invariant
+from arvae_tpu.ops.gru_pallas import _VMEM_BUDGET_BYTES
 from arvae_tpu.ops.gru_pallas import _gates as _gru_gates
-from arvae_tpu.ops.gru_pallas import _interpret
+from arvae_tpu.ops.gru_pallas import _gru_bwd, _interpret, env_int
 
 
 def supports(batch: int, hidden: int, num_layers: int, num_notes: int,
@@ -81,17 +83,13 @@ def supports(batch: int, hidden: int, num_layers: int, num_notes: int,
         batch * (4 * num_notes + 16 * hidden)
         + 2 * (9 * hidden * hidden + hidden * num_notes)
     )
-    return vmem < 15 * 1024 * 1024
+    return vmem < _VMEM_BUDGET_BYTES
 
 
 def _slice_cap() -> int:
     """ARVAE_FUSED_MAX_BATCH: cap on the per-slice batch (measurement
-    knob for the sliced fused path). Malformed values read as unset —
-    other ARVAE_* switches are truthiness-only and tolerate anything."""
-    try:
-        return int(os.environ.get("ARVAE_FUSED_MAX_BATCH", "0"))
-    except ValueError:
-        return 0
+    knob for the sliced fused path). Malformed values read as unset."""
+    return env_int("ARVAE_FUSED_MAX_BATCH", 0)
 
 
 def fused_slices(batch: int, hidden: int, num_layers: int, num_notes: int,
@@ -131,25 +129,6 @@ def enabled(batch: int, hidden: int, num_layers: int, num_notes: int,
     if os.environ.get("ARVAE_FORCE_GRU_PALLAS"):
         return True
     return jax.default_backend() == "tpu"
-
-
-def _gru_bwd(dh, r, z, n, h_n, h_prev, w_hh):
-    """Backward through one GRU cell given recomputed gates.
-    Returns (dgi (B,3H), dgh (B,3H), dh_prev (B,H))."""
-    dn = dh * (1.0 - z)
-    dz = dh * (h_prev - n)
-    da_n = dn * (1.0 - n * n)
-    dr = da_n * h_n
-    dgh_n = da_n * r
-    da_z = dz * z * (1.0 - z)
-    da_r = dr * r * (1.0 - r)
-    dgi = jnp.concatenate([da_r, da_z, da_n], axis=-1)
-    dgh = jnp.concatenate([da_r, da_z, dgh_n], axis=-1)
-    dh_prev = dh * z + jax.lax.dot_general(
-        dgh, w_hh, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return dgi, dgh, dh_prev
 
 
 def _uniform01(seed, t, shape, salt: int):
@@ -277,10 +256,12 @@ def _fwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
         jnp.where(scores == m, iota_v, V), axis=-1
     ).astype(jnp.int32)
     tok = jnp.where(teacher, score_ref[0, 0], sampled)
-    # clamp like the XLA path's jnp.take: an out-of-range teacher token
-    # (corrupt score) or the all-NaN sampled == V edge would otherwise
-    # one-hot to a silent ZERO embedding while the scan path clamps to
-    # the last table row — the two paths must not silently diverge
+    # clamp like the XLA path's jnp.take(mode="clip"): an out-of-range
+    # teacher token (corrupt score) or the all-NaN sampled == V edge
+    # would otherwise one-hot to a silent ZERO embedding while the scan
+    # path clamps to the last table row — the two paths must not
+    # silently diverge (jit's take default is "fill"/NaN, so the scan
+    # path passes mode="clip" explicitly; review r4)
     tok = jnp.clip(tok, 0, V - 1)
 
     weights_ref[0] = logits
@@ -300,7 +281,7 @@ def _fwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(teacher_ref, seed_ref, score_ref, gi_beat_ref, tick_h0_ref,
+def _bwd_kernel(seed_ref, gi_beat_ref, tick_h0_ref,
                 x0_ref, emb_ref, w_ih0e_ref, w_hh0_ref, b_hh0_ref,
                 w_ih1_ref, b_ih1_ref, w_hh1_ref, b_hh1_ref,
                 out_w_ref, out_b_ref,
@@ -559,6 +540,8 @@ def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, sampling,
         _bwd_kernel, train=train, dropout_rate=dropout_rate,
         ticks_per_beat=ticks_per_beat,
     )
+    # (teacher/score are not passed to the bwd kernel: the saved samples
+    # already encode the teacher-vs-sampled selection per step)
     rev3 = lambda k: (T - 1 - k, 0, 0)  # noqa: E731
     # block at time t-1, clamped at t == 0 (overridden by reset there)
     revm13 = lambda k: (jnp.maximum(T - 2 - k, 0), 0, 0)  # noqa: E731
@@ -582,8 +565,6 @@ def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, sampling,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),  # score
             gi_beat_spec, tick_h0_spec, _full(), _full(), _full(), _full(),
             _full(), _full(), _full(), _full(), _full(), _full(), _full(),
             pl.BlockSpec((1, 1, B), revm13, memory_space=pltpu.VMEM),
@@ -606,9 +587,8 @@ def _vjp_bwd(seq_len, train, dropout_rate, ticks_per_beat, sampling,
         ],
         interpret=_interpret(),
     )(
-        jnp.asarray(teacher, jnp.int32).reshape(1),
         jnp.asarray(seed, jnp.int32).reshape(1),
-        score.reshape(T, 1, B), gi_beat, tick_h0, x0, emb, w_ih0e,
+        gi_beat, tick_h0, x0, emb, w_ih0e,
         w_hh0, b_hh0, w_ih1, b_ih1, w_hh1, b_hh1, out_w, out_b,
         samples.reshape(T, 1, B), h0_all, h0_all, h1_all, h1_all, dweights,
     )

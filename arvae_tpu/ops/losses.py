@@ -75,16 +75,18 @@ def token_cross_entropy_loss(logits: jax.Array, targets: jax.Array) -> jax.Array
     Matches ``nn.CrossEntropyLoss(reduction='mean')`` on flattened
     (B*T, V) logits (reference ``utils/trainer.py:247-264``).
 
-    Out-of-vocab target ids clamp to V-1 under jit (``take_along_axis``
-    semantics) rather than raising like torch — the realistic cause (a
-    model sized off a stale vocab cache) is rejected loudly at trainer
+    Out-of-vocab target ids clamp to V-1 under jit (``mode="clip"`` —
+    the jit default is ``"fill"``, which would silently NaN-poison the
+    loss) rather than raising like torch — the realistic cause (a model
+    sized off a stale vocab cache) is rejected loudly at trainer
     construction instead (``training/measure_trainer.py``).
     """
     v = logits.shape[-1]
     logits = logits.reshape(-1, v).astype(jnp.float32)
     targets = targets.reshape(-1)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1,
+                               mode="clip")[:, 0]
     return jnp.mean(nll)
 
 

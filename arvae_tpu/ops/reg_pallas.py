@@ -42,6 +42,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# one copy of the run-interpreted-off-TPU routing invariant, shared by
+# all three kernel modules
+from arvae_tpu.ops.gru_pallas import _interpret
+
 _LANE = 128
 # Pair-block tile: the (TILE_I, TILE_J) f32 tile of pair contributions
 # is 1 MB, so the handful of live temporaries (t, s, mask, |t-s|) stay
@@ -56,10 +60,6 @@ def _pad_to(x: jax.Array, m: int) -> jax.Array:
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad)))
     return x
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _pair_tile(z, a, z_t, a_t, delta):

@@ -101,6 +101,26 @@ def test_supports_shapes():
     assert supports_shapes(256, 256, n_dirs=1)
 
 
+def test_env_int_malformed_reads_as_default(monkeypatch):
+    # integer ARVAE_* knobs must not explode mid-trace on a typo —
+    # malformed values read as the default (review r4)
+    from arvae_tpu.ops.gru_pallas import env_int
+
+    monkeypatch.setenv("ARVAE_GRU_PALLAS_MIN_T", "4x")
+    assert env_int("ARVAE_GRU_PALLAS_MIN_T", 1) == 1
+    monkeypatch.setenv("ARVAE_GRU_PALLAS_MIN_T", "6")
+    assert env_int("ARVAE_GRU_PALLAS_MIN_T", 1) == 6
+    monkeypatch.delenv("ARVAE_GRU_PALLAS_MIN_T")
+    assert env_int("ARVAE_GRU_PALLAS_MIN_T", 1) == 1
+
+    from arvae_tpu.ops import gru
+
+    monkeypatch.setenv("ARVAE_GRU_PALLAS_MIN_T", "oops")
+    monkeypatch.setenv("ARVAE_FORCE_GRU_PALLAS", "1")
+    # must not raise ValueError from the knob parse
+    assert gru._use_fused_chain(256, 128, seq_len=24)
+
+
 def test_layer_integration_forced(monkeypatch):
     """bigru_layer / gru_layer routed through the fused chain (forced
     interpret mode off-TPU) must match their XLA-scan path, fwd + grad."""

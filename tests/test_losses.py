@@ -117,6 +117,16 @@ class TestReconLosses:
             token_cross_entropy_loss(logits, targets), np.log(10.0), rtol=1e-6
         )
 
+    def test_token_ce_oov_target_clamps_not_nan(self):
+        # the documented contract: an out-of-vocab target id clamps to
+        # V-1 (mode="clip") instead of jit's default NaN fill silently
+        # poisoning the loss (review r4)
+        logits = jnp.zeros((1, 2, 4))
+        targets = jnp.array([[3, 99]], jnp.int32)  # 99 >= V=4
+        got = jax.jit(token_cross_entropy_loss)(logits, targets)
+        assert np.isfinite(float(got))
+        np.testing.assert_allclose(got, np.log(4.0), rtol=1e-6)
+
     def test_token_accuracy(self):
         logits = jnp.array([[[0.0, 1.0], [1.0, 0.0]]])
         targets = jnp.array([[1, 1]])

@@ -107,6 +107,28 @@ class TestMeasureVAEModel:
         np.testing.assert_array_equal(np.asarray(o1.weights),
                                       np.asarray(o2.weights))
 
+    def test_oov_token_clamps_instead_of_nan(self):
+        # an out-of-range token id must clamp to the last embedding row
+        # (mode="clip"), matching the fused kernel's one-hot clamp —
+        # jit's take default is "fill", which NaN-poisons the whole
+        # forward (review r4)
+        V = 30
+        m = self._tiny(V)
+        score = jnp.zeros((2, 24), jnp.int32)
+        vs = m.init({"params": jax.random.key(0), "sample": jax.random.key(1),
+                     "dropout": jax.random.key(2)}, score, train=True)
+        bad = score.at[0, 3].set(V + 7)  # corrupt teacher token
+        fwd = jax.jit(
+            lambda s: m.apply(vs, s, train=True,
+                              rngs={"sample": jax.random.key(3),
+                                    "dropout": jax.random.key(4)})
+        )
+        out = fwd(bad)
+        assert np.isfinite(np.asarray(out.weights)).all()
+        clamped = fwd(score.at[0, 3].set(V - 1))
+        np.testing.assert_array_equal(np.asarray(out.weights),
+                                      np.asarray(clamped.weights))
+
     def test_logits_nonnegative_relu_head(self):
         # the reference puts a ReLU on the output head (decoder.py:365-368)
         V = 30
