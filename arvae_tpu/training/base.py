@@ -62,6 +62,9 @@ class BaseTrainer(abc.ABC):
         self.cur_epoch_num = 0
         self._base_key = jax.random.key(hparams.rand)
         self.state: Optional[TrainState] = None
+        # Set by train_model; None for load-only / --test sessions so a
+        # cache written without training never claims a protocol.
+        self._train_protocol: Optional[Dict[str, int]] = None
 
     # -- identity / paths (reference utils/model.py:21-41 semantics) -------
 
@@ -324,6 +327,26 @@ class BaseTrainer(abc.ABC):
             accs.append(float(ta))
         return float(np.mean(losses)), float(np.mean(accs))
 
+    def protocol_dict(self) -> Dict[str, Any]:
+        """Training-protocol provenance for results_dict.json.
+
+        ``num_epochs``/``batch_size`` are None when this session never
+        trained (pure ``--test`` reload) — such caches must not pass a
+        protocol-gated aggregation. Dataset identity fields are always
+        stamped so a ``--short`` dSprites factor grid can't masquerade
+        as the full 737k protocol (ADVICE r4)."""
+        p: Dict[str, Any] = dict(
+            self._train_protocol
+            or {"num_epochs": None, "batch_size": None}
+        )
+        ds = self.dataset
+        p["dataset"] = type(ds).__name__
+        for attr in ("factor_sizes", "num_bars", "is_short", "class_name"):
+            v = getattr(ds, attr, None)
+            if v is not None:
+                p[attr] = list(v) if isinstance(v, tuple) else v
+        return p
+
     def train_model(self, batch_size: int, num_epochs: int, log: bool = False):
         # Retraining invalidates any cached eval metrics: the trainers'
         # compute_eval_metrics short-circuits on results_dict.json, so a
@@ -332,6 +355,15 @@ class BaseTrainer(abc.ABC):
         results_fp = os.path.join(self.run_dir, "results_dict.json")
         if os.path.exists(results_fp):
             os.remove(results_fp)
+        # Record the protocol this training run used. The run-dir name
+        # encodes only seed/beta/gamma/delta (core/config.py), so a
+        # smoke run's cache was previously indistinguishable from the
+        # blessed 100-epoch protocol's — queue skip checks and the
+        # aggregation step gate on this stamp (ADVICE r4).
+        self._train_protocol = {
+            "num_epochs": int(num_epochs),
+            "batch_size": int(batch_size),
+        }
 
         if log:
             from tensorboardX import SummaryWriter

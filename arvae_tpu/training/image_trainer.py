@@ -342,6 +342,7 @@ class ImageVAETrainer(BaseTrainer):
             resnet_metrics = self.get_resnet_accuracy()
             if resnet_metrics is not None:
                 self.metrics.update(resnet_metrics)
+        self.metrics["protocol"] = self.protocol_dict()
         os.makedirs(self.run_dir, exist_ok=True)
         with open(results_fp, "w") as outfile:
             json.dump(self.metrics, outfile, indent=2)

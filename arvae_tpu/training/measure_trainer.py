@@ -320,6 +320,7 @@ class MeasureVAETrainer(BaseTrainer):
         self.metrics.update(compute_mig(latent_codes, attributes))
         self.metrics.update(compute_sap_score(latent_codes, attributes))
         self.metrics.update(self.test_model(batch_size=batch_size))
+        self.metrics["protocol"] = self.protocol_dict()
         os.makedirs(self.run_dir, exist_ok=True)
         with open(results_fp, "w") as outfile:
             json.dump(self.metrics, outfile, indent=2)

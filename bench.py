@@ -31,7 +31,8 @@ WARMUP_STEPS = 512
 MEASURE_STEPS = 8192
 
 
-def measure_ours(bf16: bool = False) -> "tuple[float, float]":
+def measure_ours(bf16: bool = False, batch: int = BATCH,
+                 measure_steps: int = MEASURE_STEPS) -> "tuple[float, float]":
     import jax
     import jax.numpy as jnp
     import optax
@@ -92,7 +93,7 @@ def measure_ours(bf16: bool = False) -> "tuple[float, float]":
     state = (params, opt_state)
 
     runner = DeviceEpochRunner(
-        split, split, BATCH, train_step_core, eval_step_core,
+        split, split, batch, train_step_core, eval_step_core,
         jax.random.key(0),
     )
     K = runner.steps_per_call
@@ -102,7 +103,7 @@ def measure_ours(bf16: bool = False) -> "tuple[float, float]":
     # Step offsets must stay inside the 4032-step permutation: the
     # gather's dynamic_slice clamps out-of-range starts, which would
     # silently re-train the same tail batch for every overrun step.
-    n_chunk_starts = (N_ROWS // BATCH // K) * K
+    n_chunk_starts = (N_ROWS // batch // K) * K
 
     # warmup (compile + device warmup); float() materializes — on this
     # tunneled transport block_until_ready returns before the queue
@@ -121,7 +122,7 @@ def measure_ours(bf16: bool = False) -> "tuple[float, float]":
     for w in range(3):
         t0 = time.perf_counter()
         n = 0
-        while n < MEASURE_STEPS:
+        while n < measure_steps:
             state, sums, _ = chunk(state, split.images, split.labels, perm,
                                    (WARMUP_STEPS + n) % n_chunk_starts,
                                    jax.random.fold_in(jax.random.key(3 + w), n))
@@ -129,7 +130,7 @@ def measure_ours(bf16: bool = False) -> "tuple[float, float]":
         float(sums["loss"])  # sync
         rates.append(n / (time.perf_counter() - t0))
 
-    return sorted(rates)[1], image_analytic_flops(BATCH)
+    return sorted(rates)[1], image_analytic_flops(batch)
 
 
 def image_analytic_flops(batch: int) -> float:

@@ -42,7 +42,11 @@ for s in 0 1 2 3 4 5 6 7 8 9; do
 done
 
 echo "== 4. aggregate whatever landed =="
-python scripts/aggregate_results.py \
+# --epochs 100 gates on the protocol stamp inside results_dict.json:
+# without it, the seed-0 dir (never trained by the loop above, but
+# written by any 1-epoch smoke of train_image_fader.py) silently
+# contaminates the blessed 100-epoch mean±std (ADVICE r4).
+python scripts/aggregate_results.py --epochs 100 \
   "models/MnistFader_r_*_b_4.0_" "models/DspritesFader_r_*_b_4.0_" \
   2>&1 | tee logs/r4/fader_agg.txt
 

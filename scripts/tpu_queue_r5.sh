@@ -1,51 +1,102 @@
 #!/bin/bash
-# Round-5 TPU work queue — the TPU-gated items still open at the end of
-# round 4, ordered by value/cost:
-#   1. finish the fader dSprites reference protocol (100 ep x 10 seeds;
-#      the mnist half landed in round 4 — see RESULTS.md fader table)
-#   2. the batch-curve attribution runs that round 4's reset swallowed
-#      (noreg ablation + large-B sliced curve + bf16 comparison)
-#   3. restore the wiped live metric caches at full protocol so
-#      script_create_result_plots.py regenerates with zero misses
-# ONE TPU process at a time; deadline-guarded.
+# Round-5 TPU work queue — VERDICT r4 items 1-4 + 7, ordered by
+# value/cost:
+#   0. finish the fader MNIST reference protocol (seeds 8,9 → 10 seeds)
+#   1. fader dSprites reference protocol (100 ep x 10 seeds, full grid)
+#   2. protocol-gated aggregation of both fader tables
+#   3. bf16 decision + batch-curve attribution + image MFU curve
+#   4. restore the wiped live metric caches (chain r4d) + plots
+# ONE TPU process at a time; deadline-guarded. Skip checks gate on the
+# protocol stamp inside results_dict.json, not mere file existence — a
+# smoke run's cache must not suppress (or contaminate) a blessed
+# protocol run (ADVICE r4). Timeout kills and deadline skips are logged
+# per seed so the blessed seed count is auditable (ADVICE r4, low).
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs/r5
 
 DEADLINE=${R5_TPU_DEADLINE:?set R5_TPU_DEADLINE (unix seconds)}
+AUDIT=logs/r5/audit.log
+
+note() { echo "$(date +%s) $*" | tee -a "$AUDIT"; }
 
 fits() {
-  local need=$1
+  local need=$1 what=$2
   if [ $(( $(date +%s) + need )) -ge "$DEADLINE" ]; then
-    echo "-- skipping (deadline): needs ${need}s --"
+    note "SKIP-DEADLINE $what (needs ${need}s)"
     return 1
   fi
   return 0
 }
 
+# has_proto <run_dir> <epochs>: cache exists AND its stamped protocol
+# trained for <epochs> epochs (retro-stamped legacy caches qualify).
+has_proto() {
+  python - "$1" "$2" <<'EOF'
+import json, os, sys
+d, ep = sys.argv[1], int(sys.argv[2])
+try:
+    p = json.load(open(os.path.join(d, "results_dict.json"))).get("protocol") or {}
+except Exception:
+    sys.exit(1)
+sys.exit(0 if p.get("num_epochs") == ep else 1)
+EOF
+}
+
+# run_budget <seconds> <tag> <cmd...>: deadline-check, run under
+# timeout, log timeouts (rc=124/137) distinctly from other failures.
+run_budget() {
+  local need=$1 tag=$2; shift 2
+  fits "$need" "$tag" || return 1
+  note "START $tag"
+  timeout -k 60 "$need" "$@" 2>&1 | tail -3
+  local rc=${PIPESTATUS[0]}
+  if [ "$rc" -eq 124 ] || [ "$rc" -eq 137 ]; then
+    note "KILLED-TIMEOUT $tag (budget ${need}s)"
+  elif [ "$rc" -ne 0 ]; then
+    note "FAILED rc=$rc $tag"
+  else
+    note "OK $tag"
+  fi
+  return "$rc"
+}
+
+echo "== 0. fader MNIST seeds to 10 (100 epochs) =="
+for s in 8 9; do
+  has_proto "models/MnistFader_r_${s}_b_4.0_" 100 && { note "SKIP-CACHED mnist-fader-s$s"; continue; }
+  run_budget 1500 "mnist-fader-s$s" \
+    python train_image_fader.py -d mnist --num_epochs 100 --rand "$s" \
+    | tee -a logs/r5/fader_mnist.log
+done
+
 echo "== 1. fader dSprites seeds (full grid, 100 epochs) =="
 for s in 0 1 2 3 4 5 6 7 8 9; do
-  [ -f "models/DspritesFader_r_${s}_b_4.0_/results_dict.json" ] && continue
-  fits 1800 || break
-  echo "-- fader dsprites seed $s --"
-  timeout -k 60 1800 python train_image_fader.py -d dsprites \
-    --num_epochs 100 --rand "$s" 2>&1 | tail -3 \
+  has_proto "models/DspritesFader_r_${s}_b_4.0_" 100 && { note "SKIP-CACHED dsprites-fader-s$s"; continue; }
+  run_budget 2400 "dsprites-fader-s$s" \
+    python train_image_fader.py -d dsprites --num_epochs 100 --rand "$s" \
     | tee -a logs/r5/fader_dsprites.log
 done
-python scripts/aggregate_results.py "models/DspritesFader_r_*_b_4.0_" \
+
+echo "== 2. protocol-gated aggregation =="
+python scripts/aggregate_results.py --epochs 100 \
+  "models/MnistFader_r_*_b_4.0_" "models/DspritesFader_r_*_b_4.0_" \
   2>&1 | tee logs/r5/fader_agg.txt
 
-echo "== 2. batch-curve attribution (VERDICT r3 item 4 leftovers) =="
-fits 2400 && timeout -k 60 2400 python scripts/bench_batch_curve.py \
+echo "== 3. perf attribution (VERDICT r4 items 3, 4, 7) =="
+run_budget 2400 bf16-bench python scripts/bench_bf16.py \
+  2> logs/r5/bf16.stderr | tee logs/r5/bf16.json
+run_budget 2400 curve-noreg python scripts/bench_batch_curve.py \
   --batches 256,512,1024 --fused-only --ablate noreg \
   2> logs/r5/curve_noreg.stderr | tee logs/r5/batch_curve_noreg.jsonl
-fits 3600 && timeout -k 60 3600 python scripts/bench_batch_curve.py \
+run_budget 3600 curve-large python scripts/bench_batch_curve.py \
   --batches 2048,4096 \
   2> logs/r5/curve_large.stderr | tee logs/r5/batch_curve_large.jsonl
-fits 2400 && timeout -k 60 2400 python scripts/bench_bf16.py \
-  2> logs/r5/bf16.stderr | tee logs/r5/bf16.json
+run_budget 3000 image-curve python scripts/bench_image_curve.py \
+  2> logs/r5/image_curve.stderr | tee logs/r5/image_curve.jsonl
 
-echo "== 3. restore live metric caches (full protocols) =="
-R4_TPU_DEADLINE="$DEADLINE" bash scripts/tpu_queue_r4d.sh
+echo "== 4. restore live metric caches (full protocols) =="
+R4_TPU_DEADLINE="$DEADLINE" bash scripts/tpu_queue_r4d.sh \
+  2>&1 | tee logs/r5/restore.log | tail -40
 
 echo "== queue r5 complete =="
+note "QUEUE-COMPLETE"
