@@ -8,6 +8,10 @@ from arvae_tpu.data.abc_parser import (
     parse_abc,
 )
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 SIMPLE = """X:1
 T:Test Tune
 M:4/4

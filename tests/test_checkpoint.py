@@ -5,6 +5,9 @@ import numpy as np
 
 from arvae_tpu.core.checkpoint import Checkpointer
 from arvae_tpu.training.base import TrainState
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def _params():

@@ -17,6 +17,8 @@ from arvae_tpu.ops import (
     total_reg_loss,
 )
 
+pytestmark = pytest.mark.fast
+
 
 def np_reg_loss_sign(z, a, factor):
     """Direct numpy transcription of reference utils/trainer.py:378-403."""

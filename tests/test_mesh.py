@@ -13,6 +13,8 @@ from arvae_tpu.parallel import (
     shard_batch_truncated,
 )
 
+pytestmark = pytest.mark.fast
+
 
 def test_mesh_shape_default():
     ctx = create_mesh()

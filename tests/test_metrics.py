@@ -14,6 +14,8 @@ from arvae_tpu.eval.metrics import (
     normalize_data,
 )
 
+pytestmark = pytest.mark.fast
+
 N, D, A = 600, 8, 3
 
 

@@ -12,6 +12,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from arvae_tpu.utils.midi import notes_to_pianoroll, read_midi, write_midi
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_write_read_roundtrip(tmp_path):

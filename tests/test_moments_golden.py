@@ -15,6 +15,9 @@ from arvae_tpu.data.morphomnist.morpho import (
     bounding_parallelogram,
 )
 from arvae_tpu.data.synthetic_digits import generate_digit_set
+import pytest
+
+pytestmark = pytest.mark.fast
 
 # (m00, m10, m01, u20, u11, u02) per image
 GOLDEN_MOMENTS = [

@@ -11,6 +11,8 @@ from arvae_tpu.data.music_theory import (
     midi_to_note_name,
 )
 
+pytestmark = pytest.mark.fast
+
 # Tiny vocab: 0=__ 1=START 2=END 3=rest then pitches
 VOCAB = {0: "__", 1: "START", 2: "END", 3: "rest",
          4: "C4", 5: "E4", 6: "G4", 7: "C5", 8: "F#4"}

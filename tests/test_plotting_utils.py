@@ -15,6 +15,8 @@ from arvae_tpu.utils.plotting import (
     save_image_grid,
 )
 
+pytestmark = pytest.mark.fast
+
 
 class TestMakeGrid:
     def test_layout_matches_torchvision(self):
