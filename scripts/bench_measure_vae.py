@@ -42,7 +42,8 @@ def build_vocab(n: int):
 
 
 def measure(decoder_type: str = "hier", batch: int = BATCH,
-            measure_steps: int = MEASURE_STEPS, ablate: str = "none") -> float:
+            measure_steps: int = MEASURE_STEPS, ablate: str = "none",
+            unroll: int = 1) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -115,7 +116,13 @@ def measure(decoder_type: str = "hier", batch: int = BATCH,
             idx = jax.lax.dynamic_slice(perm, ((i0 + k) * batch,), (batch,))
             score = jnp.take(scores, idx, axis=0)
             return train_step(st, score, jax.random.fold_in(key, k))
-        state, stacked = jax.lax.scan(body, state, jnp.arange(K))
+        # unroll>1 inlines that many consecutive train steps into one
+        # scan iteration — XLA then schedules across the step boundary
+        # (the "dispatch 2+ steps per trace segment" composition
+        # experiment against the ~0.4 ms launch/fusion-barrier gap,
+        # docs/design.md "Where the remaining 0.66 ms goes")
+        state, stacked = jax.lax.scan(body, state, jnp.arange(K),
+                                      unroll=unroll)
         return state, jax.tree_util.tree_map(lambda m: m[-1], stacked)
 
     params = model.init(
@@ -228,9 +235,14 @@ def main():
     ap.add_argument("--steps", type=int, default=MEASURE_STEPS)
     ap.add_argument("--ablate", default="none",
                     choices=["none", "noreg", "encoder"])
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="train steps inlined per scan iteration")
     args = ap.parse_args()
-    sps = measure(args.decoder, measure_steps=args.steps, ablate=args.ablate)
+    sps = measure(args.decoder, measure_steps=args.steps,
+                  ablate=args.ablate, unroll=args.unroll)
     tag = "" if args.ablate == "none" else f"_{args.ablate}"
+    if args.unroll != 1:
+        tag += f"_unroll{args.unroll}"
     print(json.dumps({
         "metric": f"measure_vae_{args.decoder}{tag}_train_steps_per_sec_b{BATCH}",
         "value": round(sps, 2),

@@ -45,6 +45,13 @@ for args in "--decoder_type sr" "--decoder_type sr-no-input" \
     -r all --num_epochs 10 $args 2>&1 | tail -3
 done
 
+echo "== 4b. retrain the MNIST ResNet judge (20 ep — the blessed budget) =="
+# digit_pred_acc needs the judge checkpoint, which the host reset wiped;
+# without it stage 5's restored caches would silently skip that metric
+# (VERDICT r4 weak #6: restore with ONE judge and say which).
+fits 1800 && timeout -k 60 1800 python test_mnist.py --num_epochs 20 \
+  2>&1 | tail -3
+
 echo "== 5. Morpho-MNIST protocol (2 configs x 10 seeds x 100 epochs) =="
 fits 7200 && timeout -k 60 7200 python train_image_vae.py -d mnist \
   -r all --beta 1.0 --num_epochs 100 2>&1 | tail -3
