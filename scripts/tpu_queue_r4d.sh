@@ -12,6 +12,14 @@ mkdir -p logs/r4
 
 DEADLINE=${R4_TPU_DEADLINE:-1787081000}
 
+# Round 5: the bf16-parity + scan-unroll experiments are minutes; the
+# restore stages below are hours and may be deadline-cut. Run the short
+# ones first (idempotent — r5b skip-checks its parity caches).
+if [ -x scripts/tpu_queue_r5b.sh ] || [ -f scripts/tpu_queue_r5b.sh ]; then
+  R5_TPU_DEADLINE="$DEADLINE" bash scripts/tpu_queue_r5b.sh \
+    2>&1 | tee logs/r5/queue_b.log | tail -5
+fi
+
 fits() {
   local need=$1
   if [ $(( $(date +%s) + need )) -ge "$DEADLINE" ]; then
