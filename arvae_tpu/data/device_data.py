@@ -25,6 +25,7 @@ path because the global epoch permutation is unchanged.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -229,12 +230,23 @@ class DeviceEpochRunner:
         eval_step_core: Callable,  # (state, batch, key) -> metrics
         base_key: jax.Array,
         steps_per_call: int = 64,
+        unroll: int = None,
     ):
         self.train_split = train_split
         self.val_split = val_split
         self.batch_size = batch_size
         self._base_key = base_key
         self.steps_per_call = steps_per_call
+        # Scan-unroll factor for the train chunk: inlining N consecutive
+        # steps per scan iteration lets XLA schedule across the step
+        # boundary (measured +4% on the MeasureVAE hot step at unroll=4,
+        # logs/r5/unroll.jsonl). Only applied when it divides the chunk
+        # length — the remainder chunk keeps unroll=1.
+        if unroll is None:
+            unroll = int(os.environ.get("ARVAE_SCAN_UNROLL", "1"))
+        if unroll < 1:
+            raise ValueError(f"unroll must be >= 1, got {unroll}")
+        self.unroll = unroll
 
         B = batch_size
 
@@ -254,7 +266,9 @@ class DeviceEpochRunner:
                     )
                     return st, metrics
                 state, stacked = jax.lax.scan(
-                    body, state, jnp.arange(k_steps)
+                    body, state, jnp.arange(k_steps),
+                    unroll=(self.unroll
+                            if k_steps % self.unroll == 0 else 1),
                 )
                 sums = jax.tree_util.tree_map(
                     lambda m: jnp.sum(m, axis=0), stacked

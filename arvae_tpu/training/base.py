@@ -16,6 +16,7 @@ schema (loss/train, loss/valid, acc/train, acc/valid —
 from __future__ import annotations
 
 import abc
+import json
 import os
 import time
 from typing import Any, Dict, Iterable, Optional, Tuple
@@ -346,6 +347,26 @@ class BaseTrainer(abc.ABC):
             if v is not None:
                 p[attr] = list(v) if isinstance(v, tuple) else v
         return p
+
+    def has_protocol_cache(self, num_epochs: int, batch_size: int) -> bool:
+        """True iff this run dir already holds a ``results_dict.json``
+        whose protocol stamp matches the requested training protocol
+        (epochs, batch size, and the dataset identity fields — so a
+        ``--short`` dSprites cache can't satisfy a full-grid request).
+
+        Lets the seed loops in the train CLIs resume a timeout-cut
+        protocol restore instead of redoing finished seeds
+        (``--skip_cached``)."""
+        fp = os.path.join(self.run_dir, "results_dict.json")
+        try:
+            with open(fp) as fh:
+                stamped = json.load(fh).get("protocol") or {}
+        except Exception:
+            return False
+        want = dict(self.protocol_dict())
+        want["num_epochs"] = int(num_epochs)
+        want["batch_size"] = int(batch_size)
+        return all(stamped.get(k) == v for k, v in want.items())
 
     def train_model(self, batch_size: int, num_epochs: int, log: bool = False):
         # Retraining invalidates any cached eval metrics: the trainers'

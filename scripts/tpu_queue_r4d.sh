@@ -31,19 +31,19 @@ fits() {
 
 echo "== 1. dSprites protocol (2 configs x 10 seeds x 15 epochs) =="
 fits 2700 && timeout -k 60 2700 python train_image_vae.py -d dsprites \
-  -r all --beta 1.0 --num_epochs 15 2>&1 | tail -3
+  -r all --beta 1.0 --num_epochs 15 --skip_cached 2>&1 | tail -3
 fits 2700 && timeout -k 60 2700 python train_image_vae.py -d dsprites \
-  --beta 4.0 --num_epochs 15 2>&1 | tail -3
+  --beta 4.0 --num_epochs 15 --skip_cached 2>&1 | tail -3
 
 echo "== 2. folk protocol (2 configs x 10 seeds x 30 epochs) =="
-fits 2700 && timeout -k 60 2700 python train_measure_vae.py -r all \
+fits 2700 && timeout -k 60 2700 python train_measure_vae.py -r all --skip_cached \
   2>&1 | tail -3
-fits 2700 && timeout -k 60 2700 python train_measure_vae.py 2>&1 | tail -3
+fits 2700 && timeout -k 60 2700 python train_measure_vae.py --skip_cached 2>&1 | tail -3
 
 echo "== 3. chorales protocol (2 configs x 10 seeds x 30 epochs) =="
 fits 2700 && timeout -k 60 2700 python train_measure_vae.py -d bach \
-  -r all 2>&1 | tail -3
-fits 2700 && timeout -k 60 2700 python train_measure_vae.py -d bach \
+  -r all --skip_cached 2>&1 | tail -3
+fits 2700 && timeout -k 60 2700 python train_measure_vae.py -d bach --skip_cached \
   2>&1 | tail -3
 
 echo "== 4. blessed seed-0 music variants (10 epochs each) =="
@@ -62,9 +62,9 @@ fits 1800 && timeout -k 60 1800 python test_mnist.py --num_epochs 20 \
 
 echo "== 5. Morpho-MNIST protocol (2 configs x 10 seeds x 100 epochs) =="
 fits 7200 && timeout -k 60 7200 python train_image_vae.py -d mnist \
-  -r all --beta 1.0 --num_epochs 100 2>&1 | tail -3
+  -r all --beta 1.0 --num_epochs 100 --skip_cached 2>&1 | tail -3
 fits 7200 && timeout -k 60 7200 python train_image_vae.py -d mnist \
-  --beta 4.0 --num_epochs 100 2>&1 | tail -3
+  --beta 4.0 --num_epochs 100 --skip_cached 2>&1 | tail -3
 
 echo "== 6. gamma x delta sweep grid (hyper-as-data) =="
 fits 5400 && timeout -k 60 5400 python script_hyper_param_exp.py -d mnist \

@@ -64,6 +64,38 @@ def test_protocol_dict_requires_training(tmp_path):
     assert p["factor_sizes"] == [1, 1, 1, 2, 2, 2]
 
 
+def test_has_protocol_cache_gates_seed_skip(tmp_path, monkeypatch):
+    """--skip_cached's predicate: a seed is skipped only when the cached
+    stamp matches epochs, batch size, AND dataset identity — a --short
+    factor-grid cache must not satisfy a full-grid request."""
+    import os
+
+    from arvae_tpu.data.dsprites import DspritesDataset
+    from arvae_tpu.models import DspritesVAE
+    from arvae_tpu.training.image_trainer import ImageVAETrainer
+
+    monkeypatch.setenv("ARVAE_MODELS_DIR", str(tmp_path / "models"))
+    ds = DspritesDataset(root=str(tmp_path), factor_sizes=(1, 1, 1, 2, 2, 2))
+    tr = ImageVAETrainer(dataset=ds, model=DspritesVAE(), beta=1.0)
+    assert not tr.has_protocol_cache(15, 128)  # no cache at all
+
+    os.makedirs(tr.run_dir, exist_ok=True)
+    stamp = {"num_epochs": 15, "batch_size": 128,
+             "dataset": "DspritesDataset",
+             "factor_sizes": [1, 1, 1, 2, 2, 2]}
+    fp = os.path.join(tr.run_dir, "results_dict.json")
+    with open(fp, "w") as fh:
+        json.dump({"mig": 0.1, "protocol": stamp}, fh)
+    assert tr.has_protocol_cache(15, 128)
+    assert not tr.has_protocol_cache(100, 128)   # different protocol
+    assert not tr.has_protocol_cache(15, 256)    # different batch size
+
+    stamp["factor_sizes"] = [1, 3, 3, 10, 16, 16]  # a --short run's grid
+    with open(fp, "w") as fh:
+        json.dump({"mig": 0.1, "protocol": stamp}, fh)
+    assert not tr.has_protocol_cache(15, 128)
+
+
 def _write_cache(d, epochs):
     d.mkdir(parents=True)
     body = {"mig": 0.5, "SAP_score": 0.1}

@@ -60,6 +60,32 @@ def test_device_training_runs_and_learns(dsprites, tmp_path, monkeypatch):
     assert int(tr.state.step) == 2 * steps_per_epoch
 
 
+def test_scan_unroll_is_semantics_preserving(dsprites, tmp_path,
+                                             monkeypatch):
+    """ARVAE_SCAN_UNROLL inlines steps into the chunk scan for XLA
+    scheduling only — the training trajectory must be bit-identical,
+    and a non-dividing chunk length must fall back to unroll=1."""
+    params = {}
+    for tag, unroll in [("u1", "1"), ("u4", "4")]:
+        monkeypatch.setenv("ARVAE_MODELS_DIR", str(tmp_path / tag))
+        monkeypatch.setenv("ARVAE_SCAN_UNROLL", unroll)
+        tr = ImageVAETrainer(
+            dsprites, DspritesVAE(), reg_type=("all",),
+            reg_dim=get_reg_dim(DSPRITES_REG_TYPE), beta=1.0, rand=0,
+            use_pallas=False,
+        )
+        runner = tr._maybe_device_runner(32)
+        assert runner is not None and runner.unroll == int(unroll)
+        # chunks of 4 divide by the unroll factor, so the unrolled scan
+        # body (not the non-dividing fallback) is what actually runs
+        runner.steps_per_call = 4
+        tr.train_model(batch_size=32, num_epochs=1, log=False)
+        params[tag] = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    monkeypatch.delenv("ARVAE_SCAN_UNROLL")
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           params["u1"], params["u4"])
+
+
 def test_host_loader_env_escape(dsprites, monkeypatch):
     monkeypatch.setenv("ARVAE_HOST_LOADER", "1")
     tr = ImageVAETrainer(dsprites, DspritesVAE(), reg_type=(), reg_dim=(),

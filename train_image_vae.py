@@ -53,6 +53,10 @@ from arvae_tpu.training.image_trainer import (
 @click.option("--bf16/--f32", "bf16", default=False,
               help="run the conv/dense stacks in bfloat16 (MXU-native; "
                    "params, heads and logits stay float32)")
+@click.option("--skip_cached/--no_skip_cached", default=False,
+              help="skip seeds whose results_dict.json already carries a "
+                   "matching protocol stamp (resume a timeout-cut "
+                   "multi-seed protocol run)")
 def main(
     dataset_type,
     batch_size,
@@ -71,6 +75,7 @@ def main(
     short,
     use_pallas,
     bf16,
+    skip_cached,
 ):
     import jax.numpy as jnp
 
@@ -118,6 +123,12 @@ def main(
             use_pallas=use_pallas,
         )
 
+        if skip_cached and do_train and trainer.has_protocol_cache(
+            num_epochs, batch_size
+        ):
+            print(f"skip seed {r}: protocol-stamped cache in "
+                  f"{trainer.run_dir}")
+            continue
         if resume:
             trainer.maybe_resume()
         if do_train:

@@ -72,6 +72,10 @@ from arvae_tpu.training.measure_trainer import MeasureVAETrainer
               help="train with Geodesic Latent Space Regularization "
                    "instead of the AR reg loss "
                    "(reference measurevae/vae_trainer_glsr.py)")
+@click.option("--skip_cached/--no_skip_cached", default=False,
+              help="skip seeds whose results_dict.json already carries a "
+                   "matching protocol stamp (resume a timeout-cut "
+                   "multi-seed protocol run)")
 def main(
     dataset_type,
     note_embedding_dim,
@@ -100,6 +104,7 @@ def main(
     short,
     sampling,
     use_glsr,
+    skip_cached,
 ):
     num_bars = 1
     if dataset_type == "bach":
@@ -202,6 +207,12 @@ def main(
         # results cache from this instead of re-deriving the naming.
         print("run_dir:", trainer.run_dir, flush=True)
 
+        if skip_cached and do_train and trainer.has_protocol_cache(
+            num_epochs, batch_size
+        ):
+            print(f"skip seed {r}: protocol-stamped cache in "
+                  f"{trainer.run_dir}")
+            continue
         if resume:
             trainer.maybe_resume()
         if do_train:
