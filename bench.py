@@ -187,8 +187,14 @@ def music_bench_module():
 
 def measure_music() -> float:
     """MeasureVAE training throughput (the second headline workload,
-    reference hot loop measurevae/decoder.py:469-525)."""
-    return music_bench_module().measure("hier", measure_steps=1536)
+    reference hot loop measurevae/decoder.py:469-525).
+
+    unroll=4 inlines 4 consecutive train steps per scan iteration of
+    the dispatch chunk — bit-identical trajectory, measured +4.1%
+    (1110 -> 1155 steps/s, logs/r5/unroll.jsonl; docs/design.md
+    round-5 decisions)."""
+    return music_bench_module().measure("hier", measure_steps=1536,
+                                        unroll=4)
 
 
 def _discover_devices(timeouts_s: "tuple[int, ...]" = (120, 300, 600)):
@@ -350,6 +356,7 @@ def main():
             "measure_vae_vs_baseline": (
                 round(music_vs, 2) if music_vs == music_vs else None
             ),
+            "measure_vae_scan_unroll": 4,
         })
     except Exception as e:  # pragma: no cover - transport failure path
         music = float("nan")
