@@ -239,11 +239,21 @@ class DeviceEpochRunner:
         self.steps_per_call = steps_per_call
         # Scan-unroll factor for the train chunk: inlining N consecutive
         # steps per scan iteration lets XLA schedule across the step
-        # boundary (measured +4% on the MeasureVAE hot step at unroll=4,
-        # logs/r5/unroll.jsonl). Only applied when it divides the chunk
-        # length — the remainder chunk keeps unroll=1.
+        # boundary (measured +5.6% on the dSprites headline step and
+        # +4.1% on the MeasureVAE hot step at unroll=4 —
+        # logs/r5/image-unroll.out, logs/r5/unroll.jsonl). The
+        # trajectory is bit-identical (test-pinned), so this defaults
+        # on wherever an accelerator backend is present; CPU keeps
+        # unroll=1 because the only cost is compile time (the inlined
+        # body is ~4x larger), which dominates on the test suite's
+        # XLA:CPU path. Only applied when it divides the chunk length —
+        # the remainder chunk keeps unroll=1.
         if unroll is None:
-            unroll = int(os.environ.get("ARVAE_SCAN_UNROLL", "1"))
+            env = os.environ.get("ARVAE_SCAN_UNROLL")
+            if env is not None:
+                unroll = int(env)
+            else:
+                unroll = 1 if jax.devices()[0].platform == "cpu" else 4
         if unroll < 1:
             raise ValueError(f"unroll must be >= 1, got {unroll}")
         self.unroll = unroll

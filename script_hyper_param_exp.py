@@ -69,19 +69,30 @@ def main(dataset_type, batch_size, num_epochs, lr, capacity, dec_dist,
                 dec_dist=dec_dist,
                 rand=0,
             )
-            has_ckpt = Checkpointer(trainer.run_dir).exists()
-            if not has_ckpt:
-                if not do_train:
-                    print(f"skip gamma={g} delta={d} (no checkpoint)")
-                    continue
-                trainer.train_model(batch_size=batch_size,
-                                    num_epochs=num_epochs, log=log)
-            else:
-                trainer.load_model()
-            trainer.writer = None
-            # one compute per cell; the fresh-train case writes the
-            # results cache here and the cached case re-reads it
-            r = trainer.compute_eval_metrics(batch_size=batch_size)
+            # Fault-isolate each cell: extreme corners of the grid can
+            # diverge (the NaN guard raises mid-epoch) or the tunneled
+            # transport can die mid-cell — either must cost ONE scatter
+            # point, not the remaining grid. (The round-5 restore lost
+            # cells 22-35 to an uncaught per-cell failure at
+            # gamma=5, delta=100.)
+            try:
+                has_ckpt = Checkpointer(trainer.run_dir).exists()
+                if not has_ckpt:
+                    if not do_train:
+                        print(f"skip gamma={g} delta={d} (no checkpoint)")
+                        continue
+                    trainer.train_model(batch_size=batch_size,
+                                        num_epochs=num_epochs, log=log)
+                else:
+                    trainer.load_model()
+                trainer.writer = None
+                # one compute per cell; the fresh-train case writes the
+                # results cache here and the cached case re-reads it
+                r = trainer.compute_eval_metrics(batch_size=batch_size)
+            except Exception as e:
+                print(f"CELL-FAILED gamma={g} delta={d}: {e!r}"[:500],
+                      flush=True)
+                continue
             print(json.dumps(r, indent=2))
             row = [g, d]
             for k in EVAL_METRIC_DICT.keys():

@@ -37,19 +37,23 @@ run_budget() {
   return "$rc"
 }
 
-run_budget 1800 curve-2048-fused python scripts/bench_batch_curve.py \
+# Budgets are realistic runtimes (measured this round: ~5-10 min each),
+# not conservative caps — an oversized `need` makes the deadline guard
+# skip stages that would in fact fit. Highest-value first: the preview
+# exercises the exact code path the driver's end-of-round bench runs.
+run_budget 1200 bench-preview python bench.py
+run_budget 1200 image-unroll python scripts/bench_image_unroll.py
+run_budget 900 curve-2048-fused python scripts/bench_batch_curve.py \
   --batches 2048 --fused-only
-run_budget 1800 image-unroll python scripts/bench_image_unroll.py
-run_budget 1800 bench-preview python bench.py
 
 # Restore the two GLSR blessed-table rows (the r4d queue covers every
 # other wiped cache family, but not GLSR — VERDICT r4 weak #1): the
 # reference-default gamma=1 row (collapses by design, 10 ep) and the
 # blessed gamma=1e-3 row (30 ep). Same invocations as
 # scripts/glsr_gamma_sweep.py.
-run_budget 1500 glsr-gamma1 python train_measure_vae.py --glsr \
+run_budget 900 glsr-gamma1 python train_measure_vae.py --glsr \
   -r rhy_complexity --gamma 1.0 --num_epochs 10 --rand 0
-run_budget 2400 glsr-gamma1e-3 python train_measure_vae.py --glsr \
+run_budget 1200 glsr-gamma1e-3 python train_measure_vae.py --glsr \
   -r rhy_complexity --gamma 0.001 --num_epochs 30 --rand 0
 
 note "QUEUE-R5C-COMPLETE"
