@@ -231,6 +231,7 @@ class DeviceEpochRunner:
         base_key: jax.Array,
         steps_per_call: int = 64,
         unroll: int = None,
+        default_unroll: int = 4,
     ):
         self.train_split = train_split
         self.val_split = val_split
@@ -248,12 +249,19 @@ class DeviceEpochRunner:
         # body is ~4x larger), which dominates on the test suite's
         # XLA:CPU path. Only applied when it divides the chunk length —
         # the remainder chunk keeps unroll=1.
+        #
+        # `default_unroll` is the caller's measured per-workload optimum
+        # (the 4/8/16 probe gave the image conv step +3.1% at 8 while
+        # the music recurrence step is flat-to-negative past 4 —
+        # docs/design.md round-5 decisions); `ARVAE_SCAN_UNROLL` still
+        # overrides everything for experiments.
         if unroll is None:
             env = os.environ.get("ARVAE_SCAN_UNROLL")
             if env is not None:
                 unroll = int(env)
             else:
-                unroll = 1 if jax.devices()[0].platform == "cpu" else 4
+                unroll = (1 if jax.devices()[0].platform == "cpu"
+                          else default_unroll)
         if unroll < 1:
             raise ValueError(f"unroll must be >= 1, got {unroll}")
         self.unroll = unroll

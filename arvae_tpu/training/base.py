@@ -189,6 +189,12 @@ class BaseTrainer(abc.ABC):
     # ARVAE_HOST_LOADER env var forces the host path at runtime.
     supports_device_data = True
 
+    # Measured per-workload scan-unroll optimum for the dispatch chunk
+    # (docs/design.md round-5 decisions): the recurrence-dominated music
+    # step is flat-to-negative past 4, so 4 is the base default; the
+    # image conv family overrides to 8. ARVAE_SCAN_UNROLL still wins.
+    scan_unroll_default = 4
+
     def _maybe_device_runner(self, batch_size: int):
         """Device-resident epoch runner (arvae_tpu.data.device_data) when
         the dataset supports it — avoids the ~100 ms-per-batch
@@ -210,6 +216,7 @@ class BaseTrainer(abc.ABC):
             self._train_step_core,
             self._eval_step_core,
             self._base_key,
+            default_unroll=self.scan_unroll_default,
         )
 
     def _device_eval_split(self):

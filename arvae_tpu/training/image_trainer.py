@@ -73,6 +73,13 @@ def get_reg_dim(attr_dict) -> Tuple[int, ...]:
 
 
 class ImageVAETrainer(BaseTrainer):
+    # The conv-stack step keeps gaining from deeper scan-unroll of the
+    # dispatch chunk where the music recurrence step does not: measured
+    # 3084 / 3181 / 3195 steps/s at unroll 4 / 8 / 16 on the dSprites
+    # headline (scripts/bench_unroll_hi.py). 8 takes the >1% win; 16's
+    # extra +0.4% is under the adoption bar and doubles the inlined body.
+    scan_unroll_default = 8
+
     def __init__(
         self,
         dataset,

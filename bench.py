@@ -92,9 +92,12 @@ def measure_ours(bf16: bool = False, batch: int = BATCH,
     opt_state = jax.device_put(optimizer.init(params), ctx.replicated)
     state = (params, opt_state)
 
+    # default_unroll=8 is the adopted image-family optimum (3084 -> 3181
+    # steps/s vs unroll 4, scripts/bench_unroll_hi.py; docs/design.md
+    # round-5 decisions) — the same default ImageVAETrainer trains with.
     runner = DeviceEpochRunner(
         split, split, batch, train_step_core, eval_step_core,
-        jax.random.key(0),
+        jax.random.key(0), default_unroll=8,
     )
     K = runner.steps_per_call
     chunk = runner._train_chunk(K)
