@@ -86,6 +86,40 @@ def test_scan_unroll_is_semantics_preserving(dsprites, tmp_path,
                            params["u1"], params["u4"])
 
 
+@pytest.mark.fast
+def test_unroll_resolution_order(monkeypatch):
+    """Scan-unroll resolution: explicit arg > ARVAE_SCAN_UNROLL > the
+    caller's per-workload default_unroll, with CPU pinning the fallback
+    to 1 (the inlined body's compile time dominates on XLA:CPU)."""
+    from arvae_tpu.data.device_data import DeviceEpochRunner
+
+    key = jax.random.PRNGKey(0)
+
+    def mk(**kw):
+        # splits/step fns are only touched lazily inside the jitted
+        # chunk closures, so resolution is testable without data
+        return DeviceEpochRunner(None, None, 4, None, None, key, **kw)
+
+    monkeypatch.delenv("ARVAE_SCAN_UNROLL", raising=False)
+    # the CPU test backend pins the platform fallback to 1 regardless
+    # of the caller's accelerator default
+    assert mk().unroll == 1
+    assert mk(default_unroll=8).unroll == 1
+    # env overrides the platform fallback ...
+    monkeypatch.setenv("ARVAE_SCAN_UNROLL", "4")
+    assert mk(default_unroll=8).unroll == 4
+    # ... and the explicit argument wins over everything
+    assert mk(unroll=2).unroll == 2
+    # trainers declare their measured per-workload optima
+    # (docs/design.md round-5 decisions: image conv family 8, music 4)
+    from arvae_tpu.training.base import BaseTrainer
+    from arvae_tpu.training.measure_trainer import MeasureVAETrainer
+
+    assert BaseTrainer.scan_unroll_default == 4
+    assert MeasureVAETrainer.scan_unroll_default == 4
+    assert ImageVAETrainer.scan_unroll_default == 8
+
+
 def test_host_loader_env_escape(dsprites, monkeypatch):
     monkeypatch.setenv("ARVAE_HOST_LOADER", "1")
     tr = ImageVAETrainer(dsprites, DspritesVAE(), reg_type=(), reg_dim=(),
