@@ -103,7 +103,8 @@ def measure_ours(bf16: bool = False, batch: int = BATCH,
     chunk = runner._train_chunk(K)
     perm = jax.random.permutation(jax.random.key(1), split.n).astype(jnp.int32)
 
-    # Step offsets must stay inside the 4032-step permutation: the
+    # Step offsets must stay inside the N_ROWS//batch-step permutation
+    # (4032 at the B=128 headline; fewer at the curve sweep's batches): the
     # gather's dynamic_slice clamps out-of-range starts, which would
     # silently re-train the same tail batch for every overrun step.
     n_chunk_starts = (N_ROWS // batch // K) * K

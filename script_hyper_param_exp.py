@@ -4,6 +4,7 @@ the interpretability-vs-reconstruction scatter."""
 
 import json
 import os
+import shutil
 
 import click
 import numpy as np
@@ -75,16 +76,27 @@ def main(dataset_type, batch_size, num_epochs, lr, capacity, dec_dist,
             # point, not the remaining grid. (The round-5 restore lost
             # cells 22-35 to an uncaught per-cell failure at
             # gamma=5, delta=100.)
+            #
+            # Reuse is gated on the protocol stamp, NOT bare checkpoint
+            # existence: train_model checkpoints every epoch, so a cell
+            # that failed mid-protocol leaves a loadable-but-partial
+            # checkpoint behind — a re-run must retrain it, never bless
+            # metrics from a 4/100-epoch model. A dir whose training
+            # raised is quarantined to <run_dir>.failed for the same
+            # reason (Checkpointer.exists() would find it otherwise).
+            trained_full = False
             try:
-                has_ckpt = Checkpointer(trainer.run_dir).exists()
-                if not has_ckpt:
+                cached = trainer.has_protocol_cache(num_epochs, batch_size)
+                if not cached:
                     if not do_train:
-                        print(f"skip gamma={g} delta={d} (no checkpoint)")
+                        print(f"skip gamma={g} delta={d} (no finished cell)")
                         continue
                     trainer.train_model(batch_size=batch_size,
                                         num_epochs=num_epochs, log=log)
+                    trained_full = True  # returned = full protocol ran
                 else:
                     trainer.load_model()
+                    trained_full = True
                 trainer.writer = None
                 # one compute per cell; the fresh-train case writes the
                 # results cache here and the cached case re-reads it
@@ -92,6 +104,12 @@ def main(dataset_type, batch_size, num_epochs, lr, capacity, dec_dist,
             except Exception as e:
                 print(f"CELL-FAILED gamma={g} delta={d}: {e!r}"[:500],
                       flush=True)
+                if not trained_full and Checkpointer(trainer.run_dir).exists():
+                    failed_dir = trainer.run_dir.rstrip(os.sep) + ".failed"
+                    shutil.rmtree(failed_dir, ignore_errors=True)
+                    os.rename(trainer.run_dir, failed_dir)
+                    print(f"quarantined partial cell -> {failed_dir}",
+                          flush=True)
                 continue
             print(json.dumps(r, indent=2))
             row = [g, d]

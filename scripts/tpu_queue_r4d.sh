@@ -8,7 +8,10 @@
 # free).
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p logs/r4
+# logs/r5 too: the chained r5b stage tees into logs/r5/queue_b.log
+# before r5b's own mkdir runs — on a fresh post-reset host (logs/ is
+# gitignored) the outer tee would otherwise fail and SIGPIPE-kill r5b.
+mkdir -p logs/r4 logs/r5
 
 DEADLINE=${R4_TPU_DEADLINE:-1787081000}
 

@@ -45,12 +45,18 @@ EOF
 
 # run_budget <seconds> <tag> <cmd...>: deadline-check, run under
 # timeout, log timeouts (rc=124/137) distinctly from other failures.
+# FULL stdout/stderr are preserved per tag under logs/r5/<tag>.{out,stderr}
+# — the former '2>&1 | tail -3' form truncated multi-line JSON outputs
+# (it cost the fused B=2048 cell and the image-curve B=128 row) and
+# merged JAX stderr warnings into data files tee'd by callers.
 run_budget() {
   local need=$1 tag=$2; shift 2
   fits "$need" "$tag" || return 1
   note "START $tag"
-  timeout -k 60 "$need" "$@" 2>&1 | tail -3
-  local rc=${PIPESTATUS[0]}
+  timeout -k 60 "$need" "$@" \
+    > "logs/r5/${tag}.out" 2> "logs/r5/${tag}.stderr"
+  local rc=$?
+  tail -3 "logs/r5/${tag}.out"
   if [ "$rc" -eq 124 ] || [ "$rc" -eq 137 ]; then
     note "KILLED-TIMEOUT $tag (budget ${need}s)"
   elif [ "$rc" -ne 0 ]; then
@@ -83,16 +89,13 @@ python scripts/aggregate_results.py --epochs 100 \
   2>&1 | tee logs/r5/fader_agg.txt
 
 echo "== 3. perf attribution (VERDICT r4 items 3, 4, 7) =="
-run_budget 2400 bf16-bench python scripts/bench_bf16.py \
-  2> logs/r5/bf16.stderr | tee logs/r5/bf16.json
+# full JSON outputs land in logs/r5/<tag>.out via run_budget
+run_budget 2400 bf16-bench python scripts/bench_bf16.py
 run_budget 2400 curve-noreg python scripts/bench_batch_curve.py \
-  --batches 256,512,1024 --fused-only --ablate noreg \
-  2> logs/r5/curve_noreg.stderr | tee logs/r5/batch_curve_noreg.jsonl
+  --batches 256,512,1024 --fused-only --ablate noreg
 run_budget 3600 curve-large python scripts/bench_batch_curve.py \
-  --batches 2048,4096 \
-  2> logs/r5/curve_large.stderr | tee logs/r5/batch_curve_large.jsonl
-run_budget 3000 image-curve python scripts/bench_image_curve.py \
-  2> logs/r5/image_curve.stderr | tee logs/r5/image_curve.jsonl
+  --batches 2048,4096
+run_budget 3000 image-curve python scripts/bench_image_curve.py
 
 echo "== 4. restore live metric caches (full protocols) =="
 R4_TPU_DEADLINE="$DEADLINE" bash scripts/tpu_queue_r4d.sh \

@@ -45,11 +45,29 @@ for s in 0 1 2; do
     python train_image_vae.py -d dsprites --short -r all --beta 1.0 \
     --num_epochs 15 --rand "$s" --bf16
 done
-python scripts/compare_parity.py runs_r5/parity_f32 runs_r5/parity_bf16 \
-  | tee logs/r5/bf16_parity.json
+# Only (re)write the parity report when BOTH arms are complete — a
+# deadline-cut run must not clobber a previous complete report with one
+# computed from partial dirs (e.g. 2 f32 seeds vs 0 bf16 seeds).
+parity_ok=1
+for s in 0 1 2; do
+  for arm in f32 bf16; do
+    [ -f "runs_r5/parity_${arm}/DspritesVAE_r_${s}_b_1.0_g_10.0_d_1.0_all_/results_dict.json" ] \
+      || parity_ok=0
+  done
+done
+if [ "$parity_ok" -eq 1 ]; then
+  python scripts/compare_parity.py runs_r5/parity_f32 runs_r5/parity_bf16 \
+    | tee logs/r5/bf16_parity.json
+else
+  note "SKIP-PARITY-REPORT (incomplete arms; bf16_parity.json untouched)"
+fi
 
 echo "== 2. scan-unroll composition experiment (MeasureVAE step) =="
+# skip-check per cell: r4d re-runs this queue on every restore resume,
+# and duplicate appended rows would double-count in any aggregation
 for u in 1 2 4; do
+  grep -qs "OK unroll-$u\$" logs/r5/unroll.jsonl \
+    && { note "SKIP-CACHED unroll-$u"; continue; }
   run_budget 1500 "unroll-$u" python scripts/bench_measure_vae.py \
     --unroll "$u" | tee -a logs/r5/unroll.jsonl
 done

@@ -65,6 +65,21 @@ def test_scan_unroll_is_semantics_preserving(dsprites, tmp_path,
     """ARVAE_SCAN_UNROLL inlines steps into the chunk scan for XLA
     scheduling only — the training trajectory must be bit-identical,
     and a non-dividing chunk length must fall back to unroll=1."""
+    # Force steps_per_call=4 on the runner train_model itself builds
+    # (it calls _maybe_device_runner afresh — mutating a probe runner
+    # would not reach it), so chunk lengths divide by the unroll factor
+    # and the unrolled scan body — not the non-dividing fallback — is
+    # what actually runs.
+    from arvae_tpu.data.device_data import DeviceEpochRunner
+
+    orig_init = DeviceEpochRunner.__init__
+
+    def small_chunks_init(self, *args, **kwargs):
+        kwargs["steps_per_call"] = 4
+        orig_init(self, *args, **kwargs)
+
+    monkeypatch.setattr(DeviceEpochRunner, "__init__", small_chunks_init)
+
     params = {}
     for tag, unroll in [("u1", "1"), ("u4", "4")]:
         monkeypatch.setenv("ARVAE_MODELS_DIR", str(tmp_path / tag))
@@ -76,9 +91,7 @@ def test_scan_unroll_is_semantics_preserving(dsprites, tmp_path,
         )
         runner = tr._maybe_device_runner(32)
         assert runner is not None and runner.unroll == int(unroll)
-        # chunks of 4 divide by the unroll factor, so the unrolled scan
-        # body (not the non-dividing fallback) is what actually runs
-        runner.steps_per_call = 4
+        assert runner.steps_per_call == 4
         tr.train_model(batch_size=32, num_epochs=1, log=False)
         params[tag] = jax.tree_util.tree_map(np.asarray, tr.state.params)
     monkeypatch.delenv("ARVAE_SCAN_UNROLL")
